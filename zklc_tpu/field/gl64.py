@@ -1,0 +1,226 @@
+"""Host-side Goldilocks field arithmetic on numpy uint64 arrays.
+
+The Goldilocks prime p = 2^64 - 2^32 + 1 is the base field of the whole
+proving stack (reference: the plonky2 fork pinned by
+/root/reference/Cargo.toml:44-47; field semantics mirrored by the emulated
+Goldilocks chip in /root/reference/gnark-plonky2-verifier/goldilocks/base.go).
+
+This module is the *host* implementation: witness generation, transcript
+bookkeeping, circuit building and the CPU verifier all run here on numpy
+uint64 with wrap-around semantics.  The *device* implementation (2 x uint32
+structure-of-arrays for TPU lanes) lives in `gl2x32.py`; the two are
+cross-tested against each other and against Python big-int arithmetic.
+
+All values are kept CANONICAL (in [0, p)) at function boundaries.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+P = 0xFFFFFFFF00000001  # 2^64 - 2^32 + 1
+EPSILON = 0xFFFFFFFF  # 2^64 - p = 2^32 - 1
+MULTIPLICATIVE_GROUP_GENERATOR = 7
+TWO_ADICITY = 32
+# g = 7^((p-1) / 2^32) mod p — the canonical order-2^32 generator.
+POWER_OF_TWO_GENERATOR = pow(7, (P - 1) >> TWO_ADICITY, P)
+assert POWER_OF_TWO_GENERATOR == 1753635133440165772
+
+# Quadratic extension F[X]/(X^2 - W): Goldilocks is extendable with W = 7.
+EXT_W = 7
+# DTH_ROOT = element of order 2 used for Frobenius in the quadratic extension.
+DTH_ROOT = P - 1
+
+_P64 = np.uint64(P)
+_EPS64 = np.uint64(EPSILON)
+_MASK32 = np.uint64(0xFFFFFFFF)
+_U32 = np.uint64(32)
+
+
+def to_arr(x) -> np.ndarray:
+    """Coerce ints / lists / arrays to a canonical uint64 array."""
+    a = np.asarray(x, dtype=np.uint64)
+    return np.where(a >= _P64, a - _P64, a)
+
+
+def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    s = a + b  # wraps mod 2^64
+    over = s < a
+    # true sum = s + 2^64 ≡ s + EPSILON (mod p); cannot re-overflow since
+    # a, b < p implies s < 2^64 - 2^33 + 2 when the wrap occurred.
+    s = np.where(over, s + _EPS64, s)
+    return np.where(s >= _P64, s - _P64, s)
+
+
+def sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    d = a - b  # wraps
+    under = a < b
+    # true diff = d - 2^64 ≡ d - EPSILON (mod p)
+    return np.where(under, d - _EPS64, d)
+
+
+def neg(a: np.ndarray) -> np.ndarray:
+    return np.where(a == 0, a, _P64 - a)
+
+
+def _mul_wide(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Full 64x64 -> 128-bit product as (hi, lo) uint64 arrays."""
+    a0 = a & _MASK32
+    a1 = a >> _U32
+    b0 = b & _MASK32
+    b1 = b >> _U32
+    m00 = a0 * b0
+    m01 = a0 * b1
+    m10 = a1 * b0
+    m11 = a1 * b1
+    # mid accumulation: m01 + m10 can overflow 64 bits by at most 1 bit.
+    mid = m01 + (m00 >> _U32)
+    mid2 = mid + m10
+    carry_mid = (mid2 < mid).astype(np.uint64)
+    lo = (m00 & _MASK32) | (mid2 << _U32)
+    hi = m11 + (mid2 >> _U32) + (carry_mid << _U32)
+    return hi, lo
+
+
+def reduce128(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Reduce a 128-bit value mod p using 2^64 ≡ 2^32 - 1, 2^96 ≡ -1 (mod p)."""
+    hi_hi = hi >> _U32
+    hi_lo = hi & _MASK32
+    t0 = lo - hi_hi
+    borrow = lo < hi_hi
+    t0 = np.where(borrow, t0 - _EPS64, t0)
+    t1 = hi_lo * _EPS64
+    t2 = t0 + t1
+    carry = t2 < t1
+    t2 = np.where(carry, t2 + _EPS64, t2)
+    return np.where(t2 >= _P64, t2 - _P64, t2)
+
+
+def mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    hi, lo = _mul_wide(a, b)
+    return reduce128(hi, lo)
+
+
+def square(a: np.ndarray) -> np.ndarray:
+    return mul(a, a)
+
+
+def pow_const(a: np.ndarray, e: int) -> np.ndarray:
+    """a ** e elementwise via binary exponentiation (e is a Python int)."""
+    result = np.ones_like(np.asarray(a, dtype=np.uint64))
+    base = np.asarray(a, dtype=np.uint64)
+    while e > 0:
+        if e & 1:
+            result = mul(result, base)
+        base = square(base)
+        e >>= 1
+    return result
+
+
+def inv(a: np.ndarray) -> np.ndarray:
+    """Fermat inversion a^(p-2); inv(0) = 0 by convention (caller beware)."""
+    return pow_const(a, P - 2)
+
+
+def batch_inv(a: np.ndarray) -> np.ndarray:
+    """Montgomery batch inversion over the last axis (n muls + 1 inv)."""
+    with np.errstate(over="ignore"):
+        flat = np.asarray(a, dtype=np.uint64).ravel()
+        n = flat.shape[0]
+        prefix = np.empty(n, dtype=np.uint64)
+        acc = np.uint64(1).reshape(())
+        for i in range(n):
+            prefix[i] = acc
+            acc = mul(acc, flat[i].reshape(()))
+        acc_inv = np.uint64(int(pow(int(acc), P - 2, P))).reshape(())
+        out = np.empty(n, dtype=np.uint64)
+        for i in range(n - 1, -1, -1):
+            out[i] = mul(acc_inv, prefix[i].reshape(()))
+            acc_inv = mul(acc_inv, flat[i].reshape(()))
+        return out.reshape(np.asarray(a).shape)
+
+
+def primitive_root_of_unity(n_log: int) -> int:
+    """Generator of the order-2^n_log subgroup."""
+    assert 0 <= n_log <= TWO_ADICITY
+    g = POWER_OF_TWO_GENERATOR
+    for _ in range(TWO_ADICITY - n_log):
+        g = (g * g) % P
+    return g
+
+
+def two_adic_subgroup(n_log: int) -> np.ndarray:
+    """All 2^n_log roots of unity in order g^0, g^1, ..."""
+    g = primitive_root_of_unity(n_log)
+    n = 1 << n_log
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = (acc * g) % P
+    return out
+
+
+def powers(base: int, n: int) -> np.ndarray:
+    """[1, base, base^2, ..., base^(n-1)] mod p."""
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    b = int(base) % P
+    for i in range(n):
+        out[i] = acc
+        acc = (acc * b) % P
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quadratic extension F_p[X] / (X^2 - 7), elements as (..., 2) uint64 arrays.
+# ---------------------------------------------------------------------------
+
+_W = np.uint64(EXT_W)
+
+
+def ext_add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return add(a, b)
+
+
+def ext_sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return sub(a, b)
+
+
+def ext_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a0, a1 = a[..., 0], a[..., 1]
+    b0, b1 = b[..., 0], b[..., 1]
+    c0 = add(mul(a0, b0), mul(_W * np.ones_like(a1), mul(a1, b1)))
+    c1 = add(mul(a0, b1), mul(a1, b0))
+    return np.stack([c0, c1], axis=-1)
+
+
+def ext_scalar_mul(s: np.ndarray, a: np.ndarray) -> np.ndarray:
+    return np.stack([mul(s, a[..., 0]), mul(s, a[..., 1])], axis=-1)
+
+
+def ext_neg(a: np.ndarray) -> np.ndarray:
+    return neg(a)
+
+
+def ext_inv(a: np.ndarray) -> np.ndarray:
+    # (a0 + a1 X)^-1 = (a0 - a1 X) / (a0^2 - 7 a1^2)
+    a0, a1 = a[..., 0], a[..., 1]
+    denom = sub(square(a0), mul(_W * np.ones_like(a1), square(a1)))
+    dinv = inv(denom)
+    return np.stack([mul(a0, dinv), mul(neg(a1), dinv)], axis=-1)
+
+
+def ext_from_base(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, dtype=np.uint64)
+    return np.stack([a, np.zeros_like(a)], axis=-1)
+
+
+def ext_pow_const(a: np.ndarray, e: int) -> np.ndarray:
+    result = ext_from_base(np.ones(np.asarray(a).shape[:-1], dtype=np.uint64))
+    base = a
+    while e > 0:
+        if e & 1:
+            result = ext_mul(result, base)
+        base = ext_mul(base, base)
+        e >>= 1
+    return result
