@@ -17,6 +17,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# This module's arithmetic relies on uint64 wraparound everywhere; numpy's
+# overflow warnings are expected behavior, not bugs.
+np.seterr(over="ignore")
+
 P = 0xFFFFFFFF00000001  # 2^64 - 2^32 + 1
 EPSILON = 0xFFFFFFFF  # 2^64 - p = 2^32 - 1
 MULTIPLICATIVE_GROUP_GENERATOR = 7

@@ -39,6 +39,20 @@ MDS_CIRC = np.array(_C["MDS_MATRIX_CIRC"], dtype=np.uint64)
 MDS_DIAG = np.array(_C["MDS_MATRIX_DIAG"], dtype=np.uint64)
 assert ALL_ROUND_CONSTANTS.shape == (360,)
 
+# Fast-partial-round reformulation tables (algebraically equivalent to the
+# naive partial rounds; used by the in-circuit PoseidonGate wire layout).
+FAST_PARTIAL_FIRST_ROUND_CONSTANT = np.array(
+    _C["FAST_PARTIAL_FIRST_ROUND_CONSTANT"], dtype=np.uint64)
+FAST_PARTIAL_ROUND_CONSTANTS = np.array(
+    _C["FAST_PARTIAL_ROUND_CONSTANTS"], dtype=np.uint64)
+FAST_PARTIAL_ROUND_VS = np.array(
+    _C["FAST_PARTIAL_ROUND_VS"], dtype=np.uint64).reshape(22, 11)
+FAST_PARTIAL_ROUND_W_HATS = np.array(
+    _C["FAST_PARTIAL_ROUND_W_HATS"], dtype=np.uint64).reshape(22, 11)
+FAST_PARTIAL_ROUND_INITIAL_MATRIX = np.array(
+    _C["FAST_PARTIAL_ROUND_INITIAL_MATRIX"], dtype=np.uint64).reshape(11, 11)
+MDS0TO0 = np.uint64(25)  # MDS_CIRC[0] + MDS_DIAG[0]
+
 # Dense 12x12 MDS matrix: M[r][i] = CIRC[(i - r) % 12] + (DIAG[r] if i == r).
 MDS_MATRIX = np.zeros((WIDTH, WIDTH), dtype=np.uint64)
 for _r in range(WIDTH):
@@ -79,9 +93,44 @@ def _mds_layer(state: np.ndarray) -> np.ndarray:
     return out
 
 
+_MDS_INT = [[int(MDS_MATRIX[r, i]) for i in range(WIDTH)] for r in range(WIDTH)]
+_RC_INT = [int(x) for x in ALL_ROUND_CONSTANTS]
+
+
+def _permute_scalar(state_ints: list) -> list:
+    """Pure-Python big-int permutation for single states (transcript path):
+    ~50x faster than numpy scalar ops at batch size 1."""
+    P_ = gl64.P
+    st = [x % P_ for x in state_ints]
+
+    def full_round(st, rc):
+        st = [(st[i] + _RC_INT[12 * rc + i]) % P_ for i in range(12)]
+        st = [pow(x, 7, P_) for x in st]
+        return [sum(_MDS_INT[r][i] * st[i] for i in range(12)) % P_
+                for r in range(12)]
+
+    rc = 0
+    for _ in range(HALF_N_FULL_ROUNDS):
+        st = full_round(st, rc)
+        rc += 1
+    for _ in range(N_PARTIAL_ROUNDS):
+        st = [(st[i] + _RC_INT[12 * rc + i]) % P_ for i in range(12)]
+        st[0] = pow(st[0], 7, P_)
+        st = [sum(_MDS_INT[r][i] * st[i] for i in range(12)) % P_
+              for r in range(12)]
+        rc += 1
+    for _ in range(HALF_N_FULL_ROUNDS):
+        st = full_round(st, rc)
+        rc += 1
+    return st
+
+
 def permute(state: np.ndarray) -> np.ndarray:
     """Poseidon permutation; state shape (..., 12), canonical uint64."""
     assert state.shape[-1] == WIDTH
+    if state.ndim == 1:
+        return np.array(_permute_scalar([int(x) for x in state]),
+                        dtype=np.uint64)
     with np.errstate(over="ignore"):
         round_ctr = 0
         for _ in range(HALF_N_FULL_ROUNDS):
@@ -100,6 +149,67 @@ def permute(state: np.ndarray) -> np.ndarray:
             state = _sbox(state)
             state = _mds_layer(state)
             round_ctr += 1
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Fast partial-round formulation (plonky2's optimization; identical output).
+# Round structure: 4 full | partial_first_constant_layer -> mds_partial_init
+# -> 22x (sbox(state0) -> +FAST_RC -> mds_partial_fast) | 4 full.
+# The PoseidonGate's wire layout follows THIS formulation, so the witness
+# generator must produce these exact intermediates.
+# ---------------------------------------------------------------------------
+
+
+def partial_first_constant_layer(state: np.ndarray) -> np.ndarray:
+    return gl64.add(state, FAST_PARTIAL_FIRST_ROUND_CONSTANT)
+
+
+def mds_partial_layer_init(state: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(state)
+    out[..., 0] = state[..., 0]
+    for r in range(1, WIDTH):
+        for d in range(1, WIDTH):
+            t = FAST_PARTIAL_ROUND_INITIAL_MATRIX[r - 1, d - 1]
+            out[..., d] = gl64.add(out[..., d], gl64.mul(state[..., r], t))
+    return out
+
+
+def mds_partial_layer_fast(state: np.ndarray, r: int) -> np.ndarray:
+    d_sum = gl64.mul(state[..., 0], MDS0TO0)
+    for i in range(1, WIDTH):
+        t = FAST_PARTIAL_ROUND_W_HATS[r, i - 1]
+        d_sum = gl64.add(d_sum, gl64.mul(state[..., i], t))
+    out = np.zeros_like(state)
+    out[..., 0] = d_sum
+    for i in range(1, WIDTH):
+        t = FAST_PARTIAL_ROUND_VS[r, i - 1]
+        out[..., i] = gl64.add(state[..., i], gl64.mul(state[..., 0], t))
+    return out
+
+
+def permute_fast(state: np.ndarray) -> np.ndarray:
+    """Fast-partial-round permutation; must equal `permute` bit-exactly."""
+    with np.errstate(over="ignore"):
+        rc = 0
+        for _ in range(HALF_N_FULL_ROUNDS):
+            state = _constant_layer(state, rc)
+            state = _sbox(state)
+            state = _mds_layer(state)
+            rc += 1
+        state = partial_first_constant_layer(state)
+        state = mds_partial_layer_init(state)
+        for i in range(N_PARTIAL_ROUNDS):
+            state = state.copy()
+            state[..., 0] = _sbox(state[..., 0])
+            state[..., 0] = gl64.add(state[..., 0], FAST_PARTIAL_ROUND_CONSTANTS[i])
+            state = mds_partial_layer_fast(state, i)
+        rc += N_PARTIAL_ROUNDS
+        for _ in range(HALF_N_FULL_ROUNDS):
+            state = _constant_layer(state, rc)
+            state = _sbox(state)
+            state = _mds_layer(state)
+            rc += 1
     return state
 
 

@@ -1,0 +1,85 @@
+"""Circuit / FRI configuration presets.
+
+Mirrors plonky2's `CircuitConfig` presets used by the reference pipeline:
+`standard_recursion_config` for SHA-256/recursion/primitive circuits and
+`wide_ecc_config` for ed25519 (SURVEY.md §5 "Config / flag system"; exact
+standard-recursion parameters cross-checked against
+gnark-plonky2-verifier/testdata/test_circuit/common_circuit_data.json).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FriConfig:
+    rate_bits: int = 3
+    cap_height: int = 4
+    proof_of_work_bits: int = 16
+    # ConstantArityBits reduction strategy
+    arity_bits: int = 4
+    final_poly_bits: int = 5
+    num_query_rounds: int = 28
+
+    def reduction_arity_bits(self, degree_bits: int) -> list[int]:
+        """plonky2 ReductionStrategy::ConstantArityBits semantics."""
+        out = []
+        d = degree_bits
+        while d > self.final_poly_bits and \
+                d + self.rate_bits - self.arity_bits >= self.cap_height:
+            assert d >= self.arity_bits
+            out.append(self.arity_bits)
+            d -= self.arity_bits
+        return out
+
+
+@dataclass(frozen=True)
+class FriParams:
+    config: FriConfig
+    degree_bits: int
+    reduction_arity_bits: tuple
+
+    @property
+    def lde_bits(self) -> int:
+        return self.degree_bits + self.config.rate_bits
+
+    @property
+    def lde_size(self) -> int:
+        return 1 << self.lde_bits
+
+    @property
+    def final_poly_len(self) -> int:
+        return 1 << (self.degree_bits - sum(self.reduction_arity_bits))
+
+
+@dataclass(frozen=True)
+class CircuitConfig:
+    num_wires: int = 135
+    num_routed_wires: int = 80
+    num_constants: int = 2
+    use_base_arithmetic_gate: bool = True
+    security_bits: int = 100
+    num_challenges: int = 2
+    zero_knowledge: bool = False
+    max_quotient_degree_factor: int = 8
+    fri_config: FriConfig = field(default_factory=FriConfig)
+
+    @staticmethod
+    def standard_recursion_config() -> "CircuitConfig":
+        return CircuitConfig()
+
+    @staticmethod
+    def standard_ecc_config() -> "CircuitConfig":
+        return CircuitConfig(num_wires=136)
+
+    @staticmethod
+    def wide_ecc_config() -> "CircuitConfig":
+        return CircuitConfig(num_wires=234)
+
+    def fri_params(self, degree_bits: int) -> FriParams:
+        return FriParams(
+            config=self.fri_config,
+            degree_bits=degree_bits,
+            reduction_arity_bits=tuple(
+                self.fri_config.reduction_arity_bits(degree_bits)),
+        )

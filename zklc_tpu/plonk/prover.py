@@ -1,0 +1,314 @@
+"""The prover: witness -> Proof.
+
+Phase structure mirrors plonky2's `prove` (the engine behind every
+`CircuitData::prove` call in the reference pipeline, SURVEY.md §3.1 hot
+loop), re-organized as array programs:
+
+  1. commit wires (device NTT/LDE + Poseidon Merkle),
+  2. permutation argument: Z + partial products via vectorized log-scans,
+  3. quotient: vanishing polynomial evaluated over the whole LDE coset at
+     once (vectorized gate constraint evaluation), divided by Z_H,
+  4. openings at zeta / g*zeta, 5. FRI opening proof (fri.py).
+
+The Fiat-Shamir transcript order is exactly the reference verifier's
+(gnark-plonky2-verifier/verifier/verifier.go:45-85 GetChallenges).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..field import gl64
+from ..hash import poseidon as pos
+from . import poly_host as ph
+from .algebra import HostBase, EvalVars
+from .builder import ProverData
+from .commitment import PolynomialBatch
+from .config import FriParams
+from .proof import Proof, OpeningSet
+from .witness import generate_witness
+from . import fri as fri_mod
+from . import gates as G
+
+
+def ensure_constants_sigmas_commitment(data: ProverData):
+    if data.constants_sigmas_commitment is not None:
+        return
+    cfg = data.common.config
+    fp = data.common.fri_params
+    mat = np.concatenate([data.constants_rows, data.sigmas_rows], axis=1).T
+    comm = PolynomialBatch(np.ascontiguousarray(mat), cfg.fri_config.rate_bits,
+                           cfg.fri_config.cap_height)
+    data.constants_sigmas_commitment = comm
+    digest_input = np.concatenate(
+        [comm.cap_u64.ravel(),
+         np.array([data.common.degree_bits], dtype=np.uint64)])
+    data.circuit_digest = pos.hash_no_pad(digest_input)
+    from .builder import VerifierOnlyData
+    data.verifier_only = VerifierOnlyData(
+        constants_sigmas_cap=comm.cap_u64, circuit_digest=data.circuit_digest)
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_domain(degree_bits: int, rate_bits: int):
+    """Host arrays for the LDE coset: points x, Z_H(x)^-1, L_0(x)."""
+    n = 1 << degree_bits
+    lde = n << rate_bits
+    w = gl64.primitive_root_of_unity(degree_bits + rate_bits)
+    x = ph.base_powers(w, lde)
+    x = gl64.mul(x, np.uint64(gl64.MULTIPLICATIVE_GROUP_GENERATOR))
+    # Z_H(x) = x^n - 1 is periodic with period 2^rate_bits
+    shift_n = pow(gl64.MULTIPLICATIVE_GROUP_GENERATOR, n, gl64.P)
+    zeta8 = pow(w, n, gl64.P)
+    zh_short = np.array(
+        [(shift_n * pow(zeta8, k, gl64.P) - 1) % gl64.P
+         for k in range(1 << rate_bits)], dtype=np.uint64)
+    zh_inv_short = ph.batch_inverse(zh_short)
+    zh_inv = np.tile(zh_inv_short, n)
+    # L_0(x) = (x^n - 1) / (n * (x - 1))
+    zh = np.tile(zh_short, n)
+    denom = gl64.mul(np.uint64(n), gl64.sub(x, np.uint64(1)))
+    l0 = gl64.mul(zh, ph.batch_inverse(denom))
+    return x, zh_inv, l0
+
+
+def compute_zs_partial_products(common, wires, sigmas_rows, betas, gammas):
+    """Returns matrix (num_challenges * (1 + num_pp), n): [all Zs, all pps]."""
+    cfg = common.config
+    n = common.degree
+    routed = cfg.num_routed_wires
+    q = common.quotient_degree_factor
+    num_chunks = (routed + q - 1) // q
+    g_pow = ph.base_powers(gl64.primitive_root_of_unity(common.degree_bits), n)
+    sids = gl64.mul(common.k_is[None, :], g_pow[:, None])  # (n, routed)
+    w = wires[:, :routed]
+    zs, pps = [], []
+    for beta, gamma in zip(betas, gammas):
+        beta = np.uint64(beta)
+        gamma = np.uint64(gamma)
+        nums = gl64.add(gl64.add(w, gl64.mul(beta, sids)), gamma)
+        dens = gl64.add(gl64.add(w, gl64.mul(beta, sigmas_rows)), gamma)
+        # chunk products (n, num_chunks)
+        def chunk_prod(m):
+            out = np.ones((n, num_chunks), dtype=np.uint64)
+            for c in range(num_chunks):
+                seg = m[:, c * q: (c + 1) * q]
+                acc = seg[:, 0]
+                for j in range(1, seg.shape[1]):
+                    acc = gl64.mul(acc, seg[:, j])
+                out[:, c] = acc
+            return out
+        num_p = chunk_prod(nums)
+        den_p = chunk_prod(dens)
+        den_inv = ph.batch_inverse(den_p)
+        ratio = gl64.mul(num_p, den_inv)           # (n, num_chunks)
+        row_ratio = ratio[:, 0]
+        for c in range(1, num_chunks):
+            row_ratio = gl64.mul(row_ratio, ratio[:, c])
+        # Z: Z[0] = 1, Z[r] = prod_{i<r} row_ratio[i]
+        zvals = np.ones(n, dtype=np.uint64)
+        zvals[1:] = ph.cumprod(row_ratio)[:-1]
+        zs.append(zvals)
+        # partial products: pp_i(r) = Z[r] * prod_{m<=i} ratio_m(r), i<num_pp
+        cum = ratio.copy()
+        for c in range(1, num_chunks):
+            cum[:, c] = gl64.mul(cum[:, c], cum[:, c - 1])
+        for i in range(common.num_partial_products):
+            pps.append(gl64.mul(zvals, cum[:, i]))
+    return np.stack(zs + pps, axis=0)  # (nc*(1+npp), n)
+
+
+def eval_vanishing_on_coset(data: ProverData, wires_lde, constants_sigmas_lde,
+                            zs_pp_lde, pi_hash, betas, gammas, alphas):
+    """Vectorized vanishing-poly evaluation over all LDE points.
+
+    Returns (num_challenges, lde) uint64 quotient NUMERATOR values.
+    """
+    common = data.common
+    cfg = common.config
+    alg = HostBase()
+    n = common.degree
+    rate_bits = cfg.fri_config.rate_bits
+    lde = n << rate_bits
+    x, zh_inv, l0 = _coset_domain(common.degree_bits, rate_bits)
+
+    num_selectors = common.num_selectors
+    constants_lde = constants_sigmas_lde[: common.num_constants]
+    sigmas_lde = constants_sigmas_lde[common.num_constants:]
+    nc = cfg.num_challenges
+    npp = common.num_partial_products
+    zs_lde = zs_pp_lde[:nc]
+    pps_lde = zs_pp_lde[nc:]
+    rate = 1 << rate_bits
+    zs_next_lde = np.roll(zs_lde, -rate, axis=1)
+
+    # --- gate constraint terms ------------------------------------------
+    constraint_terms = np.zeros((common.num_gate_constraints, lde),
+                                dtype=np.uint64)
+    pi_hash_lifted = [np.uint64(h) for h in pi_hash]
+    vars_ = EvalVars(
+        local_constants=[constants_lde[num_selectors + i]
+                         for i in range(common.num_constants - num_selectors)],
+        local_wires=[wires_lde[i] for i in range(cfg.num_wires)],
+        public_inputs_hash=pi_hash_lifted,
+    )
+    many = num_selectors > 1
+    for gi, gate in enumerate(common.gate_types):
+        si = common.selector_indices[gi]
+        start, end = common.selector_groups[si]
+        s = constants_lde[si]
+        filt = np.ones(lde, dtype=np.uint64)
+        for k in range(start, end):
+            if k == gi:
+                continue
+            filt = gl64.mul(filt, gl64.sub(np.uint64(k), s))
+        if many:
+            filt = gl64.mul(filt, gl64.sub(np.uint64(G.UNUSED_SELECTOR), s))
+        constraints = gate.eval_unfiltered(alg, vars_)
+        for ci, c in enumerate(constraints):
+            constraint_terms[ci] = gl64.add(
+                constraint_terms[ci], gl64.mul(np.asarray(c, dtype=np.uint64), filt))
+
+    # --- permutation terms ----------------------------------------------
+    routed = cfg.num_routed_wires
+    q = common.quotient_degree_factor
+    num_chunks = (routed + q - 1) // q
+    z1_terms = []
+    pp_terms = []
+    for ci in range(nc):
+        beta = np.uint64(betas[ci])
+        gamma = np.uint64(gammas[ci])
+        z1_terms.append(gl64.mul(l0, gl64.sub(zs_lde[ci], np.uint64(1))))
+        accs = [zs_lde[ci]] + [pps_lde[ci * npp + i] for i in range(npp)] \
+            + [zs_next_lde[ci]]
+        for m in range(num_chunks):
+            nume = np.ones(lde, dtype=np.uint64)
+            deno = np.ones(lde, dtype=np.uint64)
+            for j in range(m * q, min((m + 1) * q, routed)):
+                sid = gl64.mul(common.k_is[j], x)
+                wv_g = gl64.add(wires_lde[j], gamma)
+                nume = gl64.mul(nume, gl64.add(gl64.mul(beta, sid), wv_g))
+                deno = gl64.mul(deno, gl64.add(
+                    gl64.mul(beta, sigmas_lde[j]), wv_g))
+            pp_terms.append(gl64.sub(gl64.mul(accs[m], nume),
+                                     gl64.mul(accs[m + 1], deno)))
+
+    # ordering: [z1 (per challenge)] + [pp checks (challenge-major)] + gates
+    all_terms = z1_terms + pp_terms + [constraint_terms[i]
+                                       for i in range(common.num_gate_constraints)]
+
+    out = np.zeros((nc, lde), dtype=np.uint64)
+    for ci in range(nc):
+        alpha = np.uint64(alphas[ci])
+        acc = np.zeros(lde, dtype=np.uint64)
+        for t in reversed(all_terms):
+            acc = gl64.add(gl64.mul(acc, alpha), t)
+        out[ci] = gl64.mul(acc, zh_inv)
+    return out
+
+
+def prove(data: ProverData, inputs: dict) -> Proof:
+    common = data.common
+    cfg = common.config
+    fp: FriParams = common.fri_params
+    fc = cfg.fri_config
+    n = common.degree
+
+    ensure_constants_sigmas_commitment(data)
+    cs_comm: PolynomialBatch = data.constants_sigmas_commitment
+
+    # 1. witness + wires commitment
+    wr = generate_witness(data, inputs)
+    wires = wr.wires                       # (n, num_wires)
+    public_inputs = np.array([wr.get(t) for t in data.public_input_targets],
+                             dtype=np.uint64)
+    pi_hash = pos.hash_no_pad(public_inputs) if len(public_inputs) else \
+        np.zeros(4, dtype=np.uint64)
+    wires_comm = PolynomialBatch(np.ascontiguousarray(wires.T),
+                                 fc.rate_bits, fc.cap_height)
+
+    # 2. transcript: betas/gammas
+    ch = pos.Challenger()
+    ch.observe_hash(data.circuit_digest)
+    ch.observe_hash(pi_hash)
+    ch.observe_cap(wires_comm.cap_u64)
+    betas = ch.get_n_challenges(cfg.num_challenges)
+    gammas = ch.get_n_challenges(cfg.num_challenges)
+
+    # 3. Z + partial products commitment
+    zs_pp = compute_zs_partial_products(common, wires, data.sigmas_rows,
+                                        betas, gammas)
+    zs_pp_comm = PolynomialBatch(zs_pp, fc.rate_bits, fc.cap_height)
+    ch.observe_cap(zs_pp_comm.cap_u64)
+    alphas = ch.get_n_challenges(cfg.num_challenges)
+
+    # 4. quotient
+    quotient_values = eval_vanishing_on_coset(
+        data, wires_comm.lde_values_u64, cs_comm.lde_values_u64,
+        zs_pp_comm.lde_values_u64, pi_hash, betas, gammas, alphas)
+    # coset-iNTT to coefficients, split into degree-n chunks
+    from ..field import gl2x32 as gl
+    from ..ops import ntt as ntt_ops
+    qdev = gl.from_u64_np(quotient_values)
+    qcoeffs = gl.to_u64_np(ntt_ops.coset_intt(
+        qdev, common.degree_bits + fc.rate_bits))
+    # chunks: (nc * 8, n)
+    chunks = qcoeffs.reshape(cfg.num_challenges, 1 << fc.rate_bits, n)
+    quotient_mat = chunks.reshape(cfg.num_challenges * (1 << fc.rate_bits), n)
+    quotient_comm = PolynomialBatch(np.ascontiguousarray(quotient_mat),
+                                    fc.rate_bits, fc.cap_height,
+                                    values_are_coeffs=True)
+    ch.observe_cap(quotient_comm.cap_u64)
+    zeta = np.array(ch.get_extension_challenge(), dtype=np.uint64)
+
+    # 5. openings
+    g = gl64.primitive_root_of_unity(common.degree_bits)
+    zeta_next = gl64.ext_mul(np.array([[g, 0]], dtype=np.uint64)[0], zeta)
+    zeta_pows = ph.ext_powers(zeta, n)
+    zeta_next_pows = ph.ext_powers(zeta_next, n)
+
+    cs_at_zeta = ph.eval_poly_ext(cs_comm.coeffs, zeta_pows)
+    wires_at_zeta = ph.eval_poly_ext(wires_comm.coeffs, zeta_pows)
+    zspp_at_zeta = ph.eval_poly_ext(zs_pp_comm.coeffs, zeta_pows)
+    zs_at_next = ph.eval_poly_ext(zs_pp_comm.coeffs[:cfg.num_challenges],
+                                  zeta_next_pows)
+    quot_at_zeta = ph.eval_poly_ext(quotient_comm.coeffs, zeta_pows)
+
+    openings = OpeningSet(
+        constants=cs_at_zeta[:common.num_constants],
+        plonk_sigmas=cs_at_zeta[common.num_constants:],
+        wires=wires_at_zeta,
+        plonk_zs=zspp_at_zeta[:cfg.num_challenges],
+        plonk_zs_next=zs_at_next,
+        partial_products=zspp_at_zeta[cfg.num_challenges:],
+        quotient_polys=quot_at_zeta,
+    )
+
+    # observe openings (zeta batch then zeta_next batch)
+    for v in openings.fri_batch_zeta():
+        ch.observe_extension(v)
+    for v in openings.fri_batch_zeta_next():
+        ch.observe_extension(v)
+
+    # 6. FRI
+    batch0_coeffs = np.concatenate(
+        [cs_comm.coeffs, wires_comm.coeffs, zs_pp_comm.coeffs,
+         quotient_comm.coeffs], axis=0)
+    batch1_coeffs = zs_pp_comm.coeffs[:cfg.num_challenges]
+    fri_proof = fri_mod.prove_fri(
+        oracles=[cs_comm, wires_comm, zs_pp_comm, quotient_comm],
+        poly_coeff_batches=[batch0_coeffs, batch1_coeffs],
+        batch_points=[zeta, zeta_next],
+        challenger=ch,
+        fri_params=fp,
+    )
+
+    return Proof(
+        wires_cap=wires_comm.cap_u64,
+        plonk_zs_partial_products_cap=zs_pp_comm.cap_u64,
+        quotient_polys_cap=quotient_comm.cap_u64,
+        openings=openings,
+        opening_proof=fri_proof,
+        public_inputs=public_inputs,
+    )
