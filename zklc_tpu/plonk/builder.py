@@ -115,6 +115,7 @@ class CircuitBuilder:
         self._constant_cache: dict[int, int] = {}
         self._free_arithmetic: dict[tuple, tuple] = {}
         self._free_constant: tuple | None = None
+        self._free_slots: dict[str, tuple] = {}   # gate id -> (row, next_op)
         self._touched_wires: set[int] = set()
         self.generators: list[G.Generator] = []
         self._built = False
@@ -153,6 +154,22 @@ class CircuitBuilder:
         self.gate_instances.append(GateInstance(gate, constants))
         self.generators.extend(gate.generators(self, row, constants))
         return row
+
+    def find_slot(self, gate: G.Gate) -> tuple:
+        """Batched-op slot allocation for gates exposing `num_ops` and
+        `op_input_wires(op)` (the plonky2 `find_slot` pattern)."""
+        key = gate.id()
+        slot = self._free_slots.get(key)
+        if slot is None:
+            row = self.add_gate(gate, [])
+            slot = (row, 0)
+        row, i = slot
+        placed_gate = self.gate_instances[row].gate
+        if i + 1 < placed_gate.num_ops:
+            self._free_slots[key] = (row, i + 1)
+        else:
+            self._free_slots.pop(key, None)
+        return row, i, placed_gate
 
     # -- constants / basic ops -------------------------------------------
     def constant(self, value: int) -> int:
@@ -292,7 +309,7 @@ class CircuitBuilder:
 
         # 1b. fill unused batched-op slots with zeros so their witness
         #     generators have resolvable dependencies.
-        if self._free_arithmetic:
+        if self._free_arithmetic or self._free_slots:
             z = self.zero()
             for row, i in list(self._free_arithmetic.values()):
                 num_ops = self.gate_instances[row].gate.num_ops
@@ -301,6 +318,12 @@ class CircuitBuilder:
                     self.connect(z, self.wire_t(row, 4 * j + 1))
                     self.connect(z, self.wire_t(row, 4 * j + 2))
             self._free_arithmetic.clear()
+            for row, i in list(self._free_slots.values()):
+                gate = self.gate_instances[row].gate
+                for j in range(i, gate.num_ops):
+                    for col in gate.op_input_wires(j):
+                        self.connect(z, self.wire_t(row, col))
+            self._free_slots.clear()
 
         self._built = True
 
