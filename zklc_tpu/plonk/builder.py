@@ -257,6 +257,37 @@ class CircuitBuilder:
         t = self.arithmetic(1, gl64.P - 1, b, b, b)
         self.assert_zero(t)
 
+    def add_generator(self, deps: list[int], outs: list[int], fn):
+        """Attach a custom witness generator (hint)."""
+        self.generators.append(G.Generator(deps, outs, fn))
+
+    def is_equal(self, x: int, y: int) -> int:
+        """Boolean target b = (x == y), via an inverse hint.
+
+        Constraints: b*(x-y) == 0 and (x-y)*m + b == 1.
+        """
+        diff = self.sub(x, y)
+        bt = self.add_virtual_target()
+        m = self.add_virtual_target()
+
+        def hint(vals):
+            d = int(vals[0])
+            if d % gl64.P == 0:
+                return [np.uint64(1), np.uint64(0)]
+            return [np.uint64(0), np.uint64(pow(d, gl64.P - 2, gl64.P))]
+
+        self.add_generator([diff], [bt, m], hint)
+        self.assert_zero(self.mul(bt, diff))
+        self.assert_one(self.mul_add(diff, m, bt))
+        return bt
+
+    def le_sum(self, bits: list[int]) -> int:
+        """sum bits[i] * 2^i (bits assumed boolean)."""
+        acc = self.zero()
+        for bit in reversed(bits):
+            acc = self.arithmetic(2, 1, acc, self.one(), bit)
+        return acc
+
     def split_le(self, x: int, num_bits: int) -> list[int]:
         """Split into num_bits little-endian bits via BaseSumGate(base 2)."""
         assert num_bits <= 63
