@@ -165,14 +165,15 @@ def two_adic_subgroup(n_log: int) -> np.ndarray:
 
 
 def powers(base: int, n: int) -> np.ndarray:
-    """[1, base, base^2, ..., base^(n-1)] mod p."""
-    out = np.empty(n, dtype=np.uint64)
-    acc = 1
+    """[1, base, base^2, ..., base^(n-1)] mod p (log-doubling, vectorized)."""
     b = int(base) % P
-    for i in range(n):
-        out[i] = acc
-        acc = (acc * b) % P
-    return out
+    out = np.ones(1, dtype=np.uint64)
+    length = 1
+    while length < n:
+        step = np.uint64(pow(b, length, P))
+        out = np.concatenate([out, mul(out, step)])
+        length *= 2
+    return out[:n]
 
 
 # ---------------------------------------------------------------------------

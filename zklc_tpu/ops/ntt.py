@@ -85,15 +85,31 @@ def _ntt_core(x, log_n: int, inverse: bool):
 
 
 @functools.partial(jax.jit, static_argnums=1)
-def ntt(x, log_n: int):
-    """Coefficients -> evaluations on the order-2^log_n subgroup."""
+def ntt_radix2(x, log_n: int):
+    """Radix-2 butterfly forward NTT (kept for cross-checking)."""
     return _ntt_core(x, log_n, inverse=False)
 
 
 @functools.partial(jax.jit, static_argnums=1)
-def intt(x, log_n: int):
-    """Evaluations -> coefficients."""
+def intt_radix2(x, log_n: int):
+    """Radix-2 butterfly inverse NTT (kept for cross-checking)."""
     return _ntt_core(x, log_n, inverse=True)
+
+
+def ntt(x, log_n: int):
+    """Coefficients -> evaluations on the order-2^log_n subgroup.
+
+    Routed through the MXU matmul formulation (ntt_mm.py) — the radix-2
+    butterfly path remains available as `ntt_radix2` for cross-checks.
+    """
+    from . import ntt_mm
+    return ntt_mm.ntt_mm(x, log_n)
+
+
+def intt(x, log_n: int):
+    """Evaluations -> coefficients (matmul formulation)."""
+    from . import ntt_mm
+    return ntt_mm.intt_mm(x, log_n)
 
 
 @functools.lru_cache(maxsize=None)
