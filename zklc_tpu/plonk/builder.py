@@ -257,6 +257,18 @@ class CircuitBuilder:
         t = self.arithmetic(1, gl64.P - 1, b, b, b)
         self.assert_zero(t)
 
+    def random_access(self, index: int, items: list[int]) -> int:
+        """Returns a target constrained to items[index] (power-of-two list;
+        plonky2 RandomAccessGate)."""
+        bits = (len(items) - 1).bit_length()
+        assert len(items) == 1 << bits, "list length must be a power of two"
+        gate = G.RandomAccessGate.from_config(self.config, bits)
+        row, c, gate = self.find_slot(gate)
+        self.connect(index, self.wire_t(row, gate.w_access_index(c)))
+        for i, t in enumerate(items):
+            self.connect(t, self.wire_t(row, gate.w_list_item(i, c)))
+        return self.wire_t(row, gate.w_claimed(c))
+
     def add_generator(self, deps: list[int], outs: list[int], fn):
         """Attach a custom witness generator (hint)."""
         self.generators.append(G.Generator(deps, outs, fn))
@@ -290,7 +302,7 @@ class CircuitBuilder:
 
     def split_le(self, x: int, num_bits: int) -> list[int]:
         """Split into num_bits little-endian bits via BaseSumGate(base 2)."""
-        assert num_bits <= 63
+        assert num_bits <= 64
         gate = G.BaseSumGate(num_bits, 2)
         row = self.add_gate(gate)
         self.connect(x, self.wire_t(row, 0))

@@ -254,6 +254,113 @@ class BaseSumGate(Gate):
         return [Generator(deps, outs, fn)]
 
 
+class RandomAccessGate(Gate):
+    """claimed == list[access_index] via a bit-select tree; layout and
+    constraint order mirror plonky2 (gnark random_access_gate.go:77-190):
+    per copy [access_index, claimed, list (2^bits)] routed, then
+    num_extra_constants routed constant wires, then bits aux wires."""
+
+    def __init__(self, bits: int, num_copies: int, num_extra_constants: int = 0):
+        self.bits = bits
+        self.num_copies = num_copies
+        self.num_extra_constants = num_extra_constants
+
+    @staticmethod
+    def from_config(config, bits: int) -> "RandomAccessGate":
+        vec_size = 1 << bits
+        copies = max(1, config.num_routed_wires // (2 + vec_size))
+        return RandomAccessGate(bits, copies)
+
+    def id(self):
+        return (f"RandomAccessGate {{ bits: {self.bits}, num_copies: "
+                f"{self.num_copies}, num_extra_constants: "
+                f"{self.num_extra_constants}, _phantom: PhantomData"
+                f"<plonky2_field::goldilocks_field::GoldilocksField> }}<D=2>")
+
+    @property
+    def vec_size(self):
+        return 1 << self.bits
+
+    @property
+    def num_ops(self):
+        return self.num_copies
+
+    def w_access_index(self, c):
+        return (2 + self.vec_size) * c
+
+    def w_claimed(self, c):
+        return (2 + self.vec_size) * c + 1
+
+    def w_list_item(self, i, c):
+        return (2 + self.vec_size) * c + 2 + i
+
+    def _start_extra_constants(self):
+        return (2 + self.vec_size) * self.num_copies
+
+    def num_routed(self):
+        return self._start_extra_constants() + self.num_extra_constants
+
+    def w_bit(self, i, c):
+        return self.num_routed() + c * self.bits + i
+
+    def num_wires(self):
+        return self.num_routed() + self.num_copies * self.bits
+
+    def num_constants(self):
+        return self.num_extra_constants
+
+    def degree(self):
+        return self.bits + 1
+
+    def num_constraints(self):
+        return self.num_copies * (self.bits + 2) + self.num_extra_constants
+
+    def eval_unfiltered(self, alg, v):
+        w = v.local_wires
+        two = alg.const(2)
+        constraints = []
+        for c in range(self.num_copies):
+            items = [w[self.w_list_item(i, c)] for i in range(self.vec_size)]
+            bits = [w[self.w_bit(i, c)] for i in range(self.bits)]
+            for b in bits:
+                constraints.append(alg.sub(alg.mul(b, b), b))
+            recon = reduce_with_powers(alg, bits, two)
+            constraints.append(alg.sub(recon, w[self.w_access_index(c)]))
+            for b in bits:
+                items = [alg.add(items[i],
+                                 alg.mul(b, alg.sub(items[i + 1], items[i])))
+                         for i in range(0, len(items), 2)]
+            constraints.append(alg.sub(items[0], w[self.w_claimed(c)]))
+        for i in range(self.num_extra_constants):
+            constraints.append(alg.sub(v.local_constants[i],
+                                       w[self._start_extra_constants() + i]))
+        return constraints
+
+    def op_input_wires(self, c):
+        return ([self.w_access_index(c)]
+                + [self.w_list_item(i, c) for i in range(self.vec_size)])
+
+    def generators(self, builder, row, constants):
+        gens = []
+        for c in range(self.num_copies):
+            deps = [builder.wire_t(row, self.w_access_index(c))]
+            deps += [builder.wire_t(row, self.w_list_item(i, c))
+                     for i in range(self.vec_size)]
+            outs = [builder.wire_t(row, self.w_bit(i, c))
+                    for i in range(self.bits)]
+            outs.append(builder.wire_t(row, self.w_claimed(c)))
+            nbits = self.bits
+
+            def fn(vals, nbits=nbits):
+                idx = int(vals[0])
+                out = [np.uint64((idx >> i) & 1) for i in range(nbits)]
+                out.append(np.uint64(vals[1 + idx]))
+                return out
+
+            gens.append(Generator(deps, outs, fn))
+        return gens
+
+
 class PoseidonGate(Gate):
     """Full width-12 Poseidon permutation in one row, fast-partial-round
     formulation.  Wire layout identical to plonky2
