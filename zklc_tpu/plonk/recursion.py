@@ -627,3 +627,23 @@ def recursive_proof_circuit(inner_common: CommonData,
     if register_inner_pis:
         b.register_public_inputs(pt.public_inputs)
     return b, pt
+
+
+def recursive_aggregate_circuit(inners: list, config=None,
+                                register_inner_pis: bool = True):
+    """Verify N inner proofs (possibly of different circuits) in one circuit
+    — the two-proof form of recursion.rs:16 used by every fold in
+    signatures.rs:97-106 / block_finality.rs:294-731.  `inners` is a list of
+    (CommonData, VerifierOnlyData).  Returns (builder, [ProofTargets])."""
+    from .config import CircuitConfig
+    b = CircuitBuilder(config or CircuitConfig.standard_recursion_config())
+    pts = []
+    for common, vdata in inners:
+        rv = RecursiveVerifier(b, common, vdata)
+        pt = rv.add_virtual_proof()
+        rv.verify_proof(pt)
+        pts.append(pt)
+    if register_inner_pis:
+        for pt in pts:
+            b.register_public_inputs(pt.public_inputs)
+    return b, pts
