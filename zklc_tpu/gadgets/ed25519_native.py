@@ -118,6 +118,32 @@ def point_compress(pt: Point) -> bytes:
     return (y | ((x & 1) << 255)).to_bytes(32, "little")
 
 
+def keypair_from_seed(seed: bytes) -> tuple[bytes, bytes]:
+    """RFC 8032 key generation; returns (seed, compressed public key).
+    Test/fixture helper — the production path only ever verifies."""
+    h = hashlib.sha512(seed).digest()
+    a = int.from_bytes(h[:32], "little")
+    a &= (1 << 254) - 8
+    a |= 1 << 254
+    A = Point.from_affine(*BASE).scalar_mul(a)
+    return seed, point_compress(A)
+
+
+def sign_message(msg: bytes, seed: bytes) -> bytes:
+    """RFC 8032 signing (test/fixture helper)."""
+    h = hashlib.sha512(seed).digest()
+    a = int.from_bytes(h[:32], "little")
+    a &= (1 << 254) - 8
+    a |= 1 << 254
+    prefix = h[32:]
+    A = point_compress(Point.from_affine(*BASE).scalar_mul(a))
+    r = int.from_bytes(hashlib.sha512(prefix + msg).digest(), "little") % L
+    R = point_compress(Point.from_affine(*BASE).scalar_mul(r))
+    k = int.from_bytes(hashlib.sha512(R + A + msg).digest(), "little") % L
+    s = (r + k * a) % L
+    return R + s.to_bytes(32, "little")
+
+
 def verify_message(msg: bytes, sig: bytes, pk: bytes) -> bool:
     """curve/eddsa.rs:33 native EdDSA verification.
 

@@ -1,0 +1,109 @@
+"""Poseidon permutation over BN254-Fr: the wrap-proof transcript hasher.
+
+Equivalent of crypto/plonky2_bn128/src/poseidon_bn128.rs:18 `permution`
+(RATE=3, WIDTH=4, 8 full + 56 partial rounds, iden3-circomlib constants) and
+src/config.rs:21 `PoseidonBN128GoldilocksConfig`'s outer hash: the final
+wrapped proof's caps/challenges hash with THIS function so the gnark BN254
+circuit verifies the transcript with ~one native permutation per absorb
+instead of emulated-field Goldilocks Poseidon (SURVEY.md §2.3).
+
+Pure Python ints mod r (host-side: the wrap proof is one small proof; its
+transcript cost is negligible next to the inner FRI work).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .poseidon_bn128_constants import C_CONSTANTS, S_CONSTANTS, M_MATRIX, P_MATRIX
+
+# BN254 scalar field modulus
+FR = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+RATE = 3
+WIDTH = 4
+FULL_ROUNDS = 8
+PARTIAL_ROUNDS = 56
+GOLDILOCKS_ELEMENTS = 3     # Fr packs 3 Goldilocks elements (config.rs)
+
+
+def _exp5(x: int) -> int:
+    x2 = x * x % FR
+    x4 = x2 * x2 % FR
+    return x4 * x % FR
+
+
+def _ark(state, it):
+    return [(state[i] + C_CONSTANTS[it + i]) % FR for i in range(WIDTH)]
+
+
+def _mix(state, matrix):
+    return [sum(matrix[j][i] * state[j] for j in range(WIDTH)) % FR
+            for i in range(WIDTH)]
+
+
+def permute_bn128(state: list[int]) -> list[int]:
+    """poseidon_bn128.rs:18 `permution` — bit-exact."""
+    st = [x % FR for x in state]
+    st = _ark(st, 0)
+    # first full rounds
+    for i in range(FULL_ROUNDS // 2 - 1):
+        st = [_exp5(x) for x in st]
+        st = _ark(st, (i + 1) * WIDTH)
+        st = _mix(st, M_MATRIX)
+    st = [_exp5(x) for x in st]
+    st = _ark(st, (FULL_ROUNDS // 2) * WIDTH)
+    st = _mix(st, P_MATRIX)
+    # partial rounds
+    for i in range(PARTIAL_ROUNDS):
+        s0 = _exp5(st[0])
+        s0 = (s0 + C_CONSTANTS[(FULL_ROUNDS // 2 + 1) * WIDTH + i]) % FR
+        st = [s0] + st[1:]
+        base = (WIDTH * 2 - 1) * i
+        new0 = sum(S_CONSTANTS[base + j] * st[j] for j in range(WIDTH)) % FR
+        rest = [(st[k] + st[0] * S_CONSTANTS[base + WIDTH + k - 1]) % FR
+                for k in range(1, WIDTH)]
+        st = [new0] + rest
+    # last full rounds
+    for i in range(FULL_ROUNDS // 2 - 1):
+        st = [_exp5(x) for x in st]
+        st = _ark(st,
+                  (FULL_ROUNDS // 2 + 1) * WIDTH + PARTIAL_ROUNDS + i * WIDTH)
+        st = _mix(st, M_MATRIX)
+    st = [_exp5(x) for x in st]
+    st = _mix(st, M_MATRIX)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# GoldilocksField <-> Fr packing + sponge (config.rs PoseidonBN128Hash)
+# ---------------------------------------------------------------------------
+
+GL_P = 0xFFFFFFFF00000001
+
+
+def hash_no_pad_bn128(inputs) -> int:
+    """hash_n_to_m_no_pad with the BN128 permutation: absorb Goldilocks
+    elements 3-at-a-time into Fr limbs (state[1..4)), squeeze state[0].
+
+    Mirrors plonky2_bn128's PoseidonBN128Hash::hash_no_pad semantics: each
+    Fr absorbs GOLDILOCKS_ELEMENTS field elements as base-2^64 limbs."""
+    vals = [int(x) % GL_P for x in np.asarray(inputs, dtype=np.uint64)]
+    state = [0] * WIDTH
+    for start in range(0, len(vals), RATE * GOLDILOCKS_ELEMENTS):
+        chunk = vals[start: start + RATE * GOLDILOCKS_ELEMENTS]
+        for r in range(RATE):
+            gl = chunk[r * GOLDILOCKS_ELEMENTS:(r + 1) * GOLDILOCKS_ELEMENTS]
+            if not gl:
+                break
+            acc = 0
+            for k, v in enumerate(gl):
+                acc += v << (64 * k)
+            state[1 + r] = acc % FR
+        state = permute_bn128(state)
+    return state[0]
+
+
+def fr_to_hash_bytes(fr: int) -> bytes:
+    """PoseidonBN128HashOut serialization: 32-byte little-endian Fr
+    (config.rs:31-69)."""
+    return fr.to_bytes(32, "little")

@@ -1,0 +1,125 @@
+"""Keys & stakes circuit: claimed signer keys sit in the validator list and
+hold >= 2/3 of the total stake.
+
+Equivalent statement to near_bft_finality/src/prove_block_data/
+keys_stakes.rs:18 `prove_valid_keys_stakes_in_valiators_list`:
+  (a) every claimed (index, pk) pair matches the validator-list row at that
+      index (connections hardwired at build time, exactly like the
+      reference, which resolves `pos` from the witness during build);
+  (b) claimed indices are STRICTLY INCREASING (addition over the reference:
+      prevents double-counting a validator's stake);
+  (c) sum of claimed stakes and sum of all stakes, accumulated in u32 limbs
+      with carry chains (the reference uses 8-bit limb chains, :76-104);
+  (d) 3 * valid_stake >= 2 * total_stake (:150-239).
+
+Public inputs: valid_keys bytes ++ concat(borsh validators) bytes — the
+aggregation layer links them to the signature fold's sha256(valid_keys)
+digest and to the bp_hash proof's message words (block_finality.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..plonk.builder import CircuitBuilder, ProverData
+from ..plonk.config import CircuitConfig
+from ..plonk import prover
+from ..gadgets.u32 import U32Ops
+from .primitives import add_byte_targets, pack_bytes_to_u32
+
+STAKE_BYTES = 16
+PK_BYTES = 32
+SUM_LIMBS = 5          # 2^128 * 100 < 2^135 -> five u32 limbs
+
+
+def _sum_stakes(b: CircuitBuilder, u: U32Ops, stake_limb_rows: list) -> list:
+    """Sum a list of 4-limb u32 stake values into SUM_LIMBS limbs."""
+    z = u.zero_u32()
+    acc = [z] * SUM_LIMBS
+    for limbs in stake_limb_rows:
+        carry = z
+        for i in range(SUM_LIMBS):
+            addend = limbs[i] if i < len(limbs) else z
+            acc[i], carry = u.add_u32s_with_carry([acc[i], addend], carry)
+        b.assert_zero(carry)
+    return acc
+
+
+def _two_thirds_limbs(b: CircuitBuilder, u: U32Ops, valid: list, total: list):
+    """3 * valid >= 2 * total over u32-limb values."""
+    z = u.zero_u32()
+
+    def scale(limbs, k):
+        kt = b.constant(k)
+        out = []
+        carry = z
+        for limb in limbs:
+            lo, hi = u.mul_add_u32(limb, kt, carry)
+            out.append(lo)
+            carry = hi
+        out.append(carry)
+        return out
+
+    v3 = scale(valid, 3)
+    t2 = scale(total, 2)
+    borrow = z
+    for a, c in zip(v3, t2):
+        _, borrow = u.sub_u32(a, c, borrow)
+    b.assert_zero(borrow)
+
+
+def build_keys_stakes_circuit(validator_lens: tuple, valid_indices: tuple,
+                              config: CircuitConfig | None = None):
+    """Returns (ProverData, (valid_keys_targets, validators_targets)).
+
+    Cached per (validator borsh lengths, claimed index set) shape — the same
+    per-instance specialization the reference applies."""
+    b = CircuitBuilder(config or CircuitConfig.standard_recursion_config())
+    u = U32Ops(b)
+
+    validators = [add_byte_targets(b, L) for L in validator_lens]
+    valid_keys = add_byte_targets(b, (1 + PK_BYTES) * len(valid_indices))
+
+    # (a) index + pk binding, (b) strictly increasing indices
+    prev = -1
+    for j, pos in enumerate(valid_indices):
+        assert pos > prev, "valid indices must be strictly increasing"
+        prev = pos
+        base = j * (1 + PK_BYTES)
+        b.connect(valid_keys[base], b.constant(pos))
+        row = validators[pos]
+        pk_start = len(row) - STAKE_BYTES - PK_BYTES
+        for k in range(PK_BYTES):
+            b.connect(row[pk_start + k], valid_keys[base + 1 + k])
+
+    # (c) stake sums
+    def stake_limbs(row):
+        return pack_bytes_to_u32(b, row[-STAKE_BYTES:])
+
+    valid_sum = _sum_stakes(b, u, [stake_limbs(validators[p])
+                                   for p in valid_indices])
+    total_sum = _sum_stakes(b, u, [stake_limbs(row) for row in validators])
+
+    # (d) two-thirds
+    _two_thirds_limbs(b, u, valid_sum, total_sum)
+
+    b.register_public_inputs(valid_keys)
+    for row in validators:
+        b.register_public_inputs(row)
+    data = b.build()
+    return data, (valid_keys, validators)
+
+
+def prove_valid_keys_stakes_in_validators_list(valid_keys: bytes,
+                                               validators: list[bytes]):
+    """Reference-shaped API (keys_stakes.rs:18): returns (data, proof)."""
+    indices = tuple(valid_keys[i] for i in range(0, len(valid_keys), 33))
+    data, (vk_t, val_t) = build_keys_stakes_circuit(
+        tuple(len(v) for v in validators), indices)
+    inputs: dict = {}
+    for t, v in zip(vk_t, valid_keys):
+        inputs[t] = np.uint64(v)
+    for row_t, row_v in zip(val_t, validators):
+        for t, v in zip(row_t, row_v):
+            inputs[t] = np.uint64(v)
+    proof = prover.prove(data, inputs)
+    return data, proof

@@ -67,3 +67,134 @@ def check_approvals(message: bytes, approvals: list,
 def has_bft_finality(check: ApprovalCheck) -> bool:
     """3 * valid >= 2 * total (the two-thirds statement)."""
     return 3 * check.valid_stake >= 2 * check.total_stake
+
+
+# ---------------------------------------------------------------------------
+# In-circuit approval proving: per-signature proofs folded by a balanced
+# recursion TREE (the reference folds sequentially, signatures.rs:97-106 —
+# SURVEY.md §3.1 marks that chain as the serialization bottleneck; a
+# log-depth tree preserves the PI semantics and parallelizes across chips).
+# ---------------------------------------------------------------------------
+
+_eddsa_circuit_cache: dict = {}
+_dev_leaf_cache: dict = {}
+_agg_circuit_cache: dict = {}
+
+
+def get_ed25519_circuit(msg_len: int):
+    """Build-once cache keyed by message byte length — the exact cache
+    discipline of prove_crypto/ed25519.rs:18 get_ed25519_circuit_targets."""
+    if msg_len in _eddsa_circuit_cache:
+        return _eddsa_circuit_cache[msg_len]
+    from ..plonk.builder import CircuitBuilder
+    from ..plonk.config import CircuitConfig
+    from ..gadgets.eddsa import EddsaOps
+    b = CircuitBuilder(CircuitConfig.wide_ecc_config())
+    ops = EddsaOps(b)
+    tg = ops.ed25519_circuit(msg_len)
+    data = b.build()
+    _eddsa_circuit_cache[msg_len] = (data, ops, tg)
+    return data, ops, tg
+
+
+def prove_signature(message: bytes, sig: bytes, pk: bytes):
+    """One real EdDSA proof (ed25519_proof_reuse_circuit, ed25519.rs:44)."""
+    from ..plonk import prover
+    from ..gadgets.eddsa import EddsaOps
+    data, ops, tg = get_ed25519_circuit(len(message))
+    inputs: dict = {}
+    EddsaOps.fill_eddsa(tg, message, sig, pk, inputs)
+    proof = prover.prove(data, inputs)
+    return data, proof
+
+
+def prove_signature_dev(message: bytes, sig: bytes, pk: bytes):
+    """DEV-MODE leaf: a small circuit with the SAME public-input layout as
+    the real EdDSA circuit (padded sha-512 transcript words), but no curve
+    math — the aggregation/fold topology testing analogue of risc0's
+    RISC0_DEV_MODE fake prover (SURVEY.md §4).  NOT sound; test-only."""
+    from ..plonk import prover
+    from ..plonk.builder import CircuitBuilder
+    from ..plonk.config import CircuitConfig
+    from ..gadgets.sha512 import sha512_pad
+    msg_len = len(message)
+    total = 64 + msg_len
+    blocks = (total * 8 + 1 + 128 + 1023) // 1024
+    key = (msg_len,)
+    if key not in _dev_leaf_cache:
+        b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+        words = [(b.add_virtual_target(), b.add_virtual_target())
+                 for _ in range(16 * blocks)]
+        for lo, hi in words:
+            b.register_public_input(hi)
+            b.register_public_input(lo)
+        _dev_leaf_cache[key] = (b.build(), words)
+    data, words = _dev_leaf_cache[key]
+    padded = sha512_pad(sig[:32] + pk + message, blocks)
+    inputs = {}
+    for i, (lo, hi) in enumerate(words):
+        word = int.from_bytes(padded[8 * i: 8 * i + 8], "big")
+        inputs[lo] = np.uint64(word & 0xFFFFFFFF)
+        inputs[hi] = np.uint64(word >> 32)
+    proof = prover.prove(data, inputs)
+    return data, proof
+
+
+def _fold_pair(left, right):
+    """Aggregate two (data, proof) pairs into one (cache per shape pair)."""
+    from ..plonk import prover
+    from ..plonk.recursion import (RecursiveVerifier,
+                                   recursive_aggregate_circuit)
+    dl, pl = left
+    dr, pr = right
+    prover.ensure_constants_sigmas_commitment(dl)
+    prover.ensure_constants_sigmas_commitment(dr)
+    key = (id(dl), id(dr))
+    if key not in _agg_circuit_cache:
+        rb, pts = recursive_aggregate_circuit(
+            [(dl.common, dl.verifier_only), (dr.common, dr.verifier_only)])
+        _agg_circuit_cache[key] = (rb.build(), pts)
+    rdata, pts = _agg_circuit_cache[key]
+    inputs: dict = {}
+    RecursiveVerifier.set_proof_targets(pts[0], pl, inputs)
+    RecursiveVerifier.set_proof_targets(pts[1], pr, inputs)
+    return rdata, prover.prove(rdata, inputs)
+
+
+def fold_proof_tree(leaves: list):
+    """Balanced binary reduction over (data, proof) pairs.  Arrival-order
+    insensitive like the reference's fold (SURVEY.md §2.7), log depth.
+    Each tree LEVEL is embarrassingly parallel — the per-level proves are
+    independent device programs (sharded over chips in the scaled path)."""
+    level = list(leaves)
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(_fold_pair(level[i], level[i + 1]))
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    return level[0]
+
+
+def prove_approvals(message: bytes, approvals: list,
+                    validators: list[Validator], dev_mode: bool = False):
+    """signatures.rs:43 `prove_approvals`, tree-shaped.
+
+    Returns (data, proof, ApprovalCheck): the aggregate proof whose PIs are
+    the concatenated leaf transcripts (leaf order = ascending validator
+    index); the valid-keys digest binding is applied by
+    block_finality.prove_valid_keys_digest on top.
+    """
+    check = check_approvals(message, approvals, validators)
+    prove_one = prove_signature_dev if dev_mode else prove_signature
+    leaves = []
+    for idx in check.valid_indices:
+        sig = approvals[idx]
+        raw_sig = sig[1:] if len(sig) == 65 else sig
+        pk = validators[idx].public_key[1:]
+        leaves.append(prove_one(message, raw_sig, pk))
+    if not leaves:
+        raise ValueError("no valid approvals to prove")
+    data, proof = fold_proof_tree(leaves)
+    return data, proof, check
