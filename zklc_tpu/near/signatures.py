@@ -13,6 +13,8 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
+import numpy as np
+
 from ..gadgets import ed25519_native as ed
 from .utils import Validator
 

@@ -119,9 +119,132 @@ def compute_zs_partial_products(common, wires, sigmas_rows, betas, gammas):
     return np.stack(zs + pps, axis=0)  # (nc*(1+npp), n)
 
 
+_vanishing_device_cache: dict = {}
+
+
+def eval_vanishing_on_coset_device(data: ProverData, wires_comm,
+                                   cs_comm, zs_pp_comm, pi_hash,
+                                   betas, gammas, alphas):
+    """Device (jit) vanishing-poly evaluation over the whole LDE coset —
+    the prover's hot quotient stage on the TPU (gate constraint evaluation
+    runs through DeviceBase, the same algebra-generic gate code as the host
+    and in-circuit paths).  Compiled once per circuit shape; challenges are
+    traced arguments so reproving never recompiles.
+
+    Returns device (hi, lo) pair of shape (num_challenges, lde).
+    """
+    import jax
+    import jax.numpy as jnp
+    from .algebra import DeviceBase
+    from ..field import gl2x32 as gl
+
+    common = data.common
+    cfg = common.config
+    rate_bits = cfg.fri_config.rate_bits
+    key = id(common)
+    if key not in _vanishing_device_cache:
+        num_selectors = common.num_selectors
+        nc = cfg.num_challenges
+        npp = common.num_partial_products
+        routed = cfg.num_routed_wires
+        q = common.quotient_degree_factor
+        num_chunks = (routed + q - 1) // q
+        rate = 1 << rate_bits
+        k_is = [int(k) for k in common.k_is]
+        gate_types = common.gate_types
+        selector_indices = common.selector_indices
+        selector_groups = common.selector_groups
+        ngc = common.num_gate_constraints
+        nconst = common.num_constants
+
+        def fn(wires, cs, zspp, pi_hash_d, betas_d, gammas_d, alphas_d,
+               x, zh_inv, l0):
+            alg = DeviceBase()
+
+            def row(pair, i):
+                return (pair[0][i], pair[1][i])
+
+            constants = [row(cs, i) for i in range(nconst)]
+            sigmas = [row(cs, nconst + i) for i in range(routed)]
+            wires_rows = [row(wires, i) for i in range(cfg.num_wires)]
+            zs = [row(zspp, i) for i in range(nc)]
+            pps = [row(zspp, nc + i) for i in range(nc * npp)]
+            zs_next = [(jnp.roll(z[0], -rate, -1), jnp.roll(z[1], -rate, -1))
+                       for z in zs]
+
+            vars_ = EvalVars(
+                local_constants=constants[num_selectors:],
+                local_wires=wires_rows,
+                public_inputs_hash=[row(pi_hash_d, i) for i in range(4)],
+            )
+            terms = [alg.zero() for _ in range(ngc)]
+            many = num_selectors > 1
+            for gi, gate in enumerate(gate_types):
+                si = selector_indices[gi]
+                start, end = selector_groups[si]
+                s = constants[si]
+                filt = alg.one()
+                for k in range(start, end):
+                    if k == gi:
+                        continue
+                    filt = alg.mul(filt, alg.sub(alg.const(k), s))
+                if many:
+                    filt = alg.mul(filt,
+                                   alg.sub(alg.const(G.UNUSED_SELECTOR), s))
+                for ci, c in enumerate(gate.eval_unfiltered(alg, vars_)):
+                    terms[ci] = alg.add(terms[ci], alg.mul(c, filt))
+
+            z1_terms, pp_terms = [], []
+            for ci in range(nc):
+                beta = row(betas_d, ci)
+                gamma = row(gammas_d, ci)
+                z1_terms.append(alg.mul(l0, alg.sub(zs[ci], alg.one())))
+                accs = [zs[ci]] + [pps[ci * npp + i] for i in range(npp)] \
+                    + [zs_next[ci]]
+                for m in range(num_chunks):
+                    nume = alg.one()
+                    deno = alg.one()
+                    for j in range(m * q, min((m + 1) * q, routed)):
+                        sid = alg.mul(alg.const(k_is[j]), x)
+                        wv_g = alg.add(wires_rows[j], gamma)
+                        nume = alg.mul(nume,
+                                       alg.add(alg.mul(beta, sid), wv_g))
+                        deno = alg.mul(deno, alg.add(
+                            alg.mul(beta, sigmas[j]), wv_g))
+                    pp_terms.append(alg.sub(alg.mul(accs[m], nume),
+                                            alg.mul(accs[m + 1], deno)))
+
+            all_terms = z1_terms + pp_terms + terms
+            outs_hi, outs_lo = [], []
+            for ci in range(nc):
+                alpha = row(alphas_d, ci)
+                acc = alg.zero()
+                for t in reversed(all_terms):
+                    acc = alg.add(alg.mul(acc, alpha), t)
+                acc = alg.mul(acc, zh_inv)
+                acc = gl.canonicalize(acc)
+                outs_hi.append(acc[0])
+                outs_lo.append(acc[1])
+            return (jnp.stack(outs_hi), jnp.stack(outs_lo))
+
+        _vanishing_device_cache[key] = jax.jit(fn)
+    fn = _vanishing_device_cache[key]
+
+    x_np, zh_inv_np, l0_np = _coset_domain(common.degree_bits, rate_bits)
+    from ..field import gl2x32 as gl2
+    to_dev = gl2.from_u64_np
+    pi_hash_d = to_dev(np.asarray(pi_hash, dtype=np.uint64))
+    betas_d = to_dev(np.asarray(betas, dtype=np.uint64))
+    gammas_d = to_dev(np.asarray(gammas, dtype=np.uint64))
+    alphas_d = to_dev(np.asarray(alphas, dtype=np.uint64))
+    return fn(wires_comm.lde_natural, cs_comm.lde_natural,
+              zs_pp_comm.lde_natural, pi_hash_d, betas_d, gammas_d,
+              alphas_d, to_dev(x_np), to_dev(zh_inv_np), to_dev(l0_np))
+
+
 def eval_vanishing_on_coset(data: ProverData, wires_lde, constants_sigmas_lde,
                             zs_pp_lde, pi_hash, betas, gammas, alphas):
-    """Vectorized vanishing-poly evaluation over all LDE points.
+    """Host-numpy vanishing-poly evaluation (fallback / cross-check path).
 
     Returns (num_challenges, lde) uint64 quotient NUMERATOR values.
     """
@@ -243,14 +366,21 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     ch.observe_cap(zs_pp_comm.cap_u64)
     alphas = ch.get_n_challenges(cfg.num_challenges)
 
-    # 4. quotient
-    quotient_values = eval_vanishing_on_coset(
-        data, wires_comm.lde_values_u64, cs_comm.lde_values_u64,
-        zs_pp_comm.lde_values_u64, pi_hash, betas, gammas, alphas)
-    # coset-iNTT to coefficients, split into degree-n chunks
+    # 4. quotient. Device path (gate evals via DeviceBase under jit) is the
+    # TPU fast path; default remains host-numpy because XLA:CPU chokes
+    # compiling the giant fused PoseidonGate evaluation graph.
+    import os as _os
     from ..field import gl2x32 as gl
     from ..ops import ntt as ntt_ops
-    qdev = gl.from_u64_np(quotient_values)
+    if _os.environ.get("ZKLC_DEVICE_QUOTIENT") == "1":
+        qdev = eval_vanishing_on_coset_device(
+            data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
+            betas, gammas, alphas)
+    else:
+        quotient_values = eval_vanishing_on_coset(
+            data, wires_comm.lde_values_u64, cs_comm.lde_values_u64,
+            zs_pp_comm.lde_values_u64, pi_hash, betas, gammas, alphas)
+        qdev = gl.from_u64_np(quotient_values)
     qcoeffs = gl.to_u64_np(ntt_ops.coset_intt(
         qdev, common.degree_bits + fc.rate_bits))
     # chunks: (nc * 8, n)

@@ -1,0 +1,119 @@
+"""Proof-pipeline orchestrator: the backend service layer (L6) equivalent.
+
+Re-expresses backend/src/* (SURVEY.md §2.6) without external services:
+  * status store: JSON file keyed by block hash with the reference's
+    state machine IN-PROCESSING / DONE / ERROR (prisma BlockProof analogue,
+    nats-processor.ts:44-80);
+  * generate_proof / get_proof_status: controllers/proof.controller.ts:8,50;
+  * epoch processor loop: epoch/epoch-processor.ts:7-31 (poll checkpoint ->
+    prove next epoch) with the 5 s retry discipline;
+  * artifact persistence under proofs/{epoch,random}/<hash>/ —
+    bin/prove_block.rs:302-458 checkpoint/resume layout.
+
+The Ethereum submission and NEAR RPC edges are pluggable callables (this
+environment has no egress); their call signatures mirror eth-helper.ts:451
+`executeProofSaving` and near-helper.ts fetchers.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+
+class ProofStatus:
+    IN_PROCESSING = "IN-PROCESSING"
+    DONE = "DONE"
+    ERROR = "ERROR"
+
+
+@dataclass
+class StatusStore:
+    """File-backed BlockProof table (prisma/schema.prisma analogue)."""
+    path: str
+
+    def _load(self) -> dict:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {}
+
+    def _save(self, d: dict):
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def get(self, block_hash: str) -> dict | None:
+        return self._load().get(block_hash)
+
+    def set(self, block_hash: str, **fields):
+        d = self._load()
+        row = d.setdefault(block_hash, {"dateCreate": time.time()})
+        row.update(fields)
+        self._save(d)
+
+
+@dataclass
+class Orchestrator:
+    proofs_dir: str = "proofs"
+    store: StatusStore = None
+    submit_fn: object = None        # executeProofSaving equivalent
+    dev_mode: bool = False
+
+    def __post_init__(self):
+        if self.store is None:
+            self.store = StatusStore(os.path.join(self.proofs_dir,
+                                                  "status.json"))
+
+    # -- proof.controller.ts:8 generateProof -------------------------------
+    def generate_proof(self, epoch_blocks, blocks, validators,
+                       mode: str = "random") -> dict:
+        from ..near import bft
+        from ..near.types import b58encode
+        from ..plonk.serialization import write_proof_artifacts
+        block_hash = b58encode(blocks[4].hash)
+        existing = self.store.get(block_hash)
+        if existing and existing.get("status") == ProofStatus.DONE:
+            return existing                       # dedupe
+        self.store.set(block_hash, status=ProofStatus.IN_PROCESSING,
+                       height=blocks[4].height)
+        try:
+            res = bft.prove_block_bft(epoch_blocks, blocks, validators,
+                                      dev_mode=self.dev_mode, mode=mode)
+            out_dir = os.path.join(self.proofs_dir, mode, block_hash)
+            write_proof_artifacts(out_dir, res.proof, res.data,
+                                  blocks[4].hash)
+            if self.submit_fn is not None:
+                self.submit_fn(res.public_inputs, out_dir)
+            self.store.set(block_hash, status=ProofStatus.DONE,
+                           artifacts=out_dir)
+        except Exception as e:
+            self.store.set(block_hash, status=ProofStatus.ERROR,
+                           error=str(e)[:500])
+            raise
+        return self.store.get(block_hash)
+
+    # -- proof.controller.ts:50 getProofStatus ------------------------------
+    def get_proof_status(self, block_hash: str) -> dict:
+        row = self.store.get(block_hash)
+        return row or {"status": "NOT-FOUND"}
+
+    # -- epoch-processor.ts:7 polling loop ----------------------------------
+    def epoch_processor(self, get_checkpoint_fn, next_epoch_task_fn,
+                        iterations: int = 1, retry_s: float = 5.0):
+        """Poll the on-chain checkpoint, prove the next epoch; retry on
+        failure every retry_s (epoch-processor.ts:29-32)."""
+        for _ in range(iterations):
+            try:
+                checkpoint = get_checkpoint_fn()
+                task = next_epoch_task_fn(checkpoint)
+                if task is None:
+                    return
+                epoch_blocks, blocks, validators = task
+                self.generate_proof(epoch_blocks, blocks, validators,
+                                    mode="epoch")
+            except Exception:
+                time.sleep(retry_s)
