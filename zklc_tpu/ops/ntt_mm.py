@@ -120,18 +120,28 @@ def _reduce_limb_sums(S: jnp.ndarray, corr0: int) -> gl.GL:
     """S: int32 (16, n, cols) limb-weight sums -> GL (n, cols) mod p.
 
     Y[k] = sum_s 2^(8s) * S_s + O*n*delta_{k0}  (mod p), via the unsigned
-    offset trick U_s = S_s + 2^28.
+    offset trick U_s = S_s + 2^28, then a mul-free recombination: pack four
+    consecutive limb sums into V_j = sum_k U_{4j+k} 2^(8k) < 2^54, and use
+    the weights 2^(32j) mod p directly (2^64 = 2^32 - 1, 2^96 = -1):
+        Y = V0 + V1*2^32 + V2*(2^32 - 1) - V3 - K.
     """
-    cs, k_corr = _shift_consts()
+    _, k_corr = _shift_consts()
     n = S.shape[1]
     U = (S + jnp.int32(_OFFSET)).astype(jnp.uint32)   # < 2^29
     zero = jnp.zeros(S.shape[1:], jnp.uint32)
-    acc = gl.zeros(S.shape[1:])
-    for s in range(16):
-        c = cs[s]
-        term = gl.mul((zero, U[s]),
-                      (jnp.uint32(c >> 32), jnp.uint32(c & 0xFFFFFFFF)))
-        acc = gl.add(acc, term)
+    vs = []
+    for j in range(4):
+        pair = (zero, U[4 * j])
+        for k in range(1, 4):
+            u = U[4 * j + k]
+            term = (u >> (32 - 8 * k), u << (8 * k))
+            pair, _carry = gl.add64(pair, term)       # V_j < 2^54: no wrap
+        vs.append(pair)
+    v1_shift = gl.reduce128(zero, vs[1][0], vs[1][1], zero)   # V1 * 2^64>>32
+    v2_shift = gl.reduce128(zero, vs[2][0], vs[2][1], zero)
+    acc = gl.add(vs[0], v1_shift)
+    acc = gl.add(acc, gl.sub(v2_shift, vs[2]))        # V2 * (2^32 - 1)
+    acc = gl.sub(acc, vs[3])
     # subtract the offset correction K
     acc = gl.sub(acc, (jnp.uint32(k_corr >> 32), jnp.uint32(k_corr & 0xFFFFFFFF)))
     # add O*n (mod p) to output row k = 0
