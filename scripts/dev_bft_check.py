@@ -5,7 +5,7 @@ provers; this validates every wire link in the BFT statement."""
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax; jax.config.update('jax_platforms', 'cpu')
-jax.config.update("jax_compilation_cache_dir", "/tmp/zklc_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/zklc_jax_cache_bft")
 import numpy as np
 from dataclasses import dataclass, field
 

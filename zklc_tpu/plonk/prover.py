@@ -191,7 +191,17 @@ def eval_vanishing_on_coset_device(data: ProverData, wires_comm,
                 if many:
                     filt = alg.mul(filt,
                                    alg.sub(alg.const(G.UNUSED_SELECTOR), s))
-                for ci, c in enumerate(gate.eval_unfiltered(alg, vars_)):
+                if isinstance(gate, G.PoseidonGate):
+                    # rolled-loop device evaluator (XLA cannot compile the
+                    # unrolled 123-constraint chain)
+                    from ..ops.poseidon_gate_device import \
+                        eval_poseidon_gate_device
+                    cp = eval_poseidon_gate_device(gate, wires)
+                    constraints = [(cp[0][i], cp[1][i])
+                                   for i in range(gate.num_constraints())]
+                else:
+                    constraints = gate.eval_unfiltered(alg, vars_)
+                for ci, c in enumerate(constraints):
                     terms[ci] = alg.add(terms[ci], alg.mul(c, filt))
 
             z1_terms, pp_terms = [], []
