@@ -39,6 +39,28 @@ _EPS64 = np.uint64(EPSILON)
 _MASK32 = np.uint64(0xFFFFFFFF)
 _U32 = np.uint64(32)
 
+# Native C++ kernels (zklc_tpu/native) take over the hot vector paths; the
+# numpy formulas below remain the reference/fallback implementation.
+try:
+    from .. import native as _native
+    _NATIVE = _native if _native.available else None
+except Exception:  # pragma: no cover - build/toolchain failure
+    _NATIVE = None
+
+_NATIVE_MIN = 256  # dispatch threshold (ctypes overhead vs numpy passes)
+
+
+def _native_size(a, b) -> int:
+    """Broadcast result size if operands are ndarray-likes, else 0."""
+    try:
+        shape = np.broadcast_shapes(np.shape(a), np.shape(b))
+    except Exception:
+        return 0
+    size = 1
+    for d in shape:
+        size *= d
+    return size
+
 
 def to_arr(x) -> np.ndarray:
     """Coerce ints / lists / arrays to a canonical uint64 array."""
@@ -47,6 +69,8 @@ def to_arr(x) -> np.ndarray:
 
 
 def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if _NATIVE is not None and _native_size(a, b) >= _NATIVE_MIN:
+        return _NATIVE.gl_binop("gl_add", a, b)
     s = a + b  # wraps mod 2^64
     over = s < a
     # true sum = s + 2^64 ≡ s + EPSILON (mod p); cannot re-overflow since
@@ -56,6 +80,8 @@ def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if _NATIVE is not None and _native_size(a, b) >= _NATIVE_MIN:
+        return _NATIVE.gl_binop("gl_sub", a, b)
     d = a - b  # wraps
     under = a < b
     # true diff = d - 2^64 ≡ d - EPSILON (mod p)
@@ -100,6 +126,8 @@ def reduce128(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 
 
 def mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if _NATIVE is not None and _native_size(a, b) >= _NATIVE_MIN:
+        return _NATIVE.gl_binop("gl_mul", a, b)
     hi, lo = _mul_wide(a, b)
     return reduce128(hi, lo)
 

@@ -125,9 +125,18 @@ def _permute_scalar(state_ints: list) -> list:
     return st
 
 
+try:
+    from .. import native as _native
+    _NATIVE = _native if _native.available else None
+except Exception:  # pragma: no cover
+    _NATIVE = None
+
+
 def permute(state: np.ndarray) -> np.ndarray:
     """Poseidon permutation; state shape (..., 12), canonical uint64."""
     assert state.shape[-1] == WIDTH
+    if _NATIVE is not None:
+        return _NATIVE.poseidon_permute(state)
     if state.ndim == 1:
         return np.array(_permute_scalar([int(x) for x in state]),
                         dtype=np.uint64)
@@ -216,6 +225,8 @@ def permute_fast(state: np.ndarray) -> np.ndarray:
 def hash_n_to_m_no_pad(inputs: np.ndarray, num_outputs: int = HASH_OUT_SIZE) -> np.ndarray:
     """plonky2 `hash_n_to_m_no_pad`: absorb in rate-8 chunks, squeeze."""
     inputs = np.asarray(inputs, dtype=np.uint64)
+    if _NATIVE is not None and num_outputs == HASH_OUT_SIZE:
+        return _NATIVE.poseidon_hash_no_pad(inputs)
     state = np.zeros(WIDTH, dtype=np.uint64)
     for start in range(0, len(inputs), RATE):
         chunk = inputs[start: start + RATE]

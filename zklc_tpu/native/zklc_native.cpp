@@ -1,0 +1,482 @@
+// zklc_tpu native host kernels (C++), loaded via ctypes.
+//
+// TPU-native framework split: the device (JAX/XLA/Pallas) owns the regular
+// bulk math (NTT/LDE, Merkle, quotient); this library owns the *host* side
+// that the reference implements in Rust+rayon (SURVEY.md §2.1 — plonky2's
+// field ops, Poseidon transcript hashing, Merkle fallbacks, batch inversion),
+// replacing Python/numpy inner loops on the proving critical path.
+//
+// Everything is plain C ABI over uint64 arrays; Python wrappers live in
+// zklc_tpu/native/__init__.py.
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "poseidon_constants.inc"
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+typedef int64_t i64;
+
+static const u64 P = 0xFFFFFFFF00000001ull;  // Goldilocks 2^64 - 2^32 + 1
+static const u64 EPS = 0xFFFFFFFFull;        // 2^64 mod p
+
+static inline u64 gl_add1(u64 a, u64 b) {
+  u64 s = a + b;
+  if (s < a) s += EPS;           // wrapped: add 2^64 mod p
+  if (s >= P) s -= P;
+  return s;
+}
+
+static inline u64 gl_sub1(u64 a, u64 b) {
+  u64 d = a - b;
+  if (a < b) d -= EPS;
+  return d;
+}
+
+static inline u64 gl_reduce128(u128 x) {
+  u64 lo = (u64)x;
+  u64 hi = (u64)(x >> 64);
+  u64 hi_hi = hi >> 32;
+  u64 hi_lo = hi & 0xFFFFFFFFull;
+  u64 t0 = lo - hi_hi;
+  if (lo < hi_hi) t0 -= EPS;
+  u64 t1 = hi_lo * EPS;
+  u64 t2 = t0 + t1;
+  if (t2 < t1) t2 += EPS;
+  if (t2 >= P) t2 -= P;
+  return t2;
+}
+
+static inline u64 gl_mul1(u64 a, u64 b) {
+  return gl_reduce128((u128)a * (u128)b);
+}
+
+static inline u64 gl_pow(u64 a, u64 e) {
+  u64 r = 1, base = a;
+  while (e) {
+    if (e & 1) r = gl_mul1(r, base);
+    base = gl_mul1(base, base);
+    e >>= 1;
+  }
+  return r;
+}
+
+static inline u64 gl_inv1(u64 a) { return gl_pow(a, P - 2); }
+
+extern "C" {
+
+// ---------------------------------------------------------------- vectors --
+void gl_add(const u64* a, const u64* b, u64* out, i64 n) {
+  for (i64 i = 0; i < n; i++) out[i] = gl_add1(a[i], b[i]);
+}
+void gl_sub(const u64* a, const u64* b, u64* out, i64 n) {
+  for (i64 i = 0; i < n; i++) out[i] = gl_sub1(a[i], b[i]);
+}
+void gl_mul(const u64* a, const u64* b, u64* out, i64 n) {
+  for (i64 i = 0; i < n; i++) out[i] = gl_mul1(a[i], b[i]);
+}
+void gl_mul_scalar(const u64* a, u64 s, u64* out, i64 n) {
+  for (i64 i = 0; i < n; i++) out[i] = gl_mul1(a[i], s);
+}
+// out = a*b + c (fused, one reduction after the add in 128-bit)
+void gl_mul_add(const u64* a, const u64* b, const u64* c, u64* out, i64 n) {
+  for (i64 i = 0; i < n; i++)
+    out[i] = gl_reduce128((u128)a[i] * (u128)b[i] + (u128)c[i]);
+}
+
+void gl_cumprod(const u64* a, u64* out, i64 n) {
+  u64 acc = 1;
+  for (i64 i = 0; i < n; i++) {
+    acc = gl_mul1(acc, a[i]);
+    out[i] = acc;
+  }
+}
+
+// Montgomery batch inversion; inv(0) -> 0 handled by caller convention
+// (zeros propagate garbage — callers must not pass zeros, same as the
+// numpy path).
+void gl_batch_inverse(const u64* a, u64* out, i64 n) {
+  if (n == 0) return;
+  std::vector<u64> prefix((size_t)n);
+  u64 acc = 1;
+  for (i64 i = 0; i < n; i++) {
+    prefix[(size_t)i] = acc;
+    acc = gl_mul1(acc, a[i]);
+  }
+  u64 acc_inv = gl_inv1(acc);
+  for (i64 i = n - 1; i >= 0; i--) {
+    out[i] = gl_mul1(acc_inv, prefix[(size_t)i]);
+    acc_inv = gl_mul1(acc_inv, a[i]);
+  }
+}
+
+void gl_powers(u64 base, u64* out, i64 n) {
+  u64 acc = 1;
+  for (i64 i = 0; i < n; i++) {
+    out[i] = acc;
+    acc = gl_mul1(acc, base);
+  }
+}
+
+// ------------------------------------------------------------------- NTT --
+// In-place iterative radix-2 DIT NTT over rows. data: (rows, n) row-major.
+// twiddles: the caller passes root w of order n (forward) or its inverse;
+// scaling by 1/n for the inverse transform is done by the caller.
+static void bit_reverse_row(u64* row, int log_n) {
+  i64 n = (i64)1 << log_n;
+  for (i64 i = 0; i < n; i++) {
+    i64 j = 0;
+    i64 x = i;
+    for (int b = 0; b < log_n; b++) { j = (j << 1) | (x & 1); x >>= 1; }
+    if (j > i) { u64 t = row[i]; row[i] = row[j]; row[j] = t; }
+  }
+}
+
+void gl_ntt(u64* data, i64 rows, int log_n, u64 root) {
+  i64 n = (i64)1 << log_n;
+  // twiddle table: w^0..w^(n/2-1)
+  std::vector<u64> tw((size_t)(n >> 1));
+  {
+    u64 acc = 1;
+    for (i64 i = 0; i < (n >> 1); i++) { tw[(size_t)i] = acc; acc = gl_mul1(acc, root); }
+  }
+  for (i64 r = 0; r < rows; r++) {
+    u64* row = data + r * n;
+    bit_reverse_row(row, log_n);
+    for (int s = 1; s <= log_n; s++) {
+      i64 m = (i64)1 << s;
+      i64 half = m >> 1;
+      i64 tstep = n >> s;
+      for (i64 k = 0; k < n; k += m) {
+        for (i64 j = 0; j < half; j++) {
+          u64 w = tw[(size_t)(j * tstep)];
+          u64 t = gl_mul1(w, row[k + j + half]);
+          u64 u = row[k + j];
+          row[k + j] = gl_add1(u, t);
+          row[k + j + half] = gl_sub1(u, t);
+        }
+      }
+    }
+  }
+}
+
+// --------------------------------------------------------------- Poseidon --
+static const int W = 12;
+static u64 MDS_M[12][12];
+static bool mds_init_done = false;
+
+static void mds_init() {
+  if (mds_init_done) return;
+  for (int r = 0; r < W; r++) {
+    for (int i = 0; i < W; i++)
+      MDS_M[r][i] = POS_MDS_CIRC[((i - r) % W + W) % W];
+    MDS_M[r][r] += POS_MDS_DIAG[r];
+  }
+  mds_init_done = true;
+}
+
+static inline u64 sbox7(u64 x) {
+  u64 x2 = gl_mul1(x, x);
+  u64 x3 = gl_mul1(x2, x);
+  u64 x6 = gl_mul1(x3, x3);
+  return gl_mul1(x6, x);
+}
+
+static inline void mds_layer(const u64* st, u64* out) {
+  for (int r = 0; r < W; r++) {
+    u128 acc = 0;
+    // coefficients are small (< 2^5); products < 2^69; 12 of them < 2^73.
+    for (int i = 0; i < W; i++) acc += (u128)MDS_M[r][i] * st[i];
+    out[r] = gl_reduce128(acc);
+  }
+}
+
+static void poseidon_permute1(u64* st) {
+  mds_init();
+  u64 tmp[12];
+  int rc = 0;
+  for (int fr = 0; fr < 4; fr++) {
+    for (int i = 0; i < W; i++) st[i] = sbox7(gl_add1(st[i], POS_RC[12 * rc + i]));
+    mds_layer(st, tmp);
+    std::memcpy(st, tmp, sizeof(tmp));
+    rc++;
+  }
+  for (int pr = 0; pr < 22; pr++) {
+    for (int i = 0; i < W; i++) st[i] = gl_add1(st[i], POS_RC[12 * rc + i]);
+    st[0] = sbox7(st[0]);
+    mds_layer(st, tmp);
+    std::memcpy(st, tmp, sizeof(tmp));
+    rc++;
+  }
+  for (int fr = 0; fr < 4; fr++) {
+    for (int i = 0; i < W; i++) st[i] = sbox7(gl_add1(st[i], POS_RC[12 * rc + i]));
+    mds_layer(st, tmp);
+    std::memcpy(st, tmp, sizeof(tmp));
+    rc++;
+  }
+}
+
+void poseidon_permute_batch(u64* states, i64 n) {
+  for (i64 i = 0; i < n; i++) poseidon_permute1(states + i * W);
+}
+
+// plonky2 hash_n_to_m_no_pad with 4 outputs.
+void poseidon_hash_no_pad(const u64* in, i64 len, u64* out4) {
+  u64 st[12] = {0};
+  for (i64 start = 0; start < len; start += 8) {
+    i64 c = len - start < 8 ? len - start : 8;
+    for (i64 i = 0; i < c; i++) st[i] = in[start + i] % P;
+    poseidon_permute1(st);
+  }
+  for (int i = 0; i < 4; i++) out4[i] = st[i];
+}
+
+// Batched leaf hashing: rows (n, row_len) -> digests (n, 4) via
+// hash_or_noop semantics (row_len <= 4 copies through).
+void poseidon_hash_leaves(const u64* rows, i64 n, i64 row_len, u64* out) {
+  if (row_len <= 4) {
+    for (i64 r = 0; r < n; r++) {
+      for (int i = 0; i < 4; i++)
+        out[r * 4 + i] = i < row_len ? rows[r * row_len + i] : 0;
+    }
+    return;
+  }
+  for (i64 r = 0; r < n; r++)
+    poseidon_hash_no_pad(rows + r * row_len, row_len, out + r * 4);
+}
+
+// One Merkle level: digests (2m, 4) -> parents (m, 4) via two_to_one.
+void poseidon_merkle_level(const u64* digests, u64* out, i64 m) {
+  for (i64 i = 0; i < m; i++) {
+    u64 st[12] = {0};
+    std::memcpy(st, digests + (2 * i) * 4, 4 * sizeof(u64));
+    std::memcpy(st + 4, digests + (2 * i + 1) * 4, 4 * sizeof(u64));
+    poseidon_permute1(st);
+    std::memcpy(out + i * 4, st, 4 * sizeof(u64));
+  }
+}
+
+// ---------------------------------------------------------- witness tape --
+// Typed witness-generation VM.  The Python builder compiles each circuit's
+// generator list into a flat instruction tape (see plonk/witness_tape.py);
+// this executor runs the typed opcodes natively and returns control to
+// Python only at PYTHON-opcode instructions (gadget hints doing big-int
+// math).  Replaces the per-generator Python worklist of plonk/witness.py on
+// the proving critical path — the equivalent of plonky2's SimpleGenerator
+// scheduling (reference: crypto/plonky2_u32/src/gates/*.rs generators).
+
+enum WitOp {
+  OP_PYTHON = 0,
+  OP_ARITH = 1,          // params [c0, c1]; deps [x,y,z]; outs [c0*x*y+c1*z]
+  OP_BASE_SUM = 2,       // params [base, n]; deps [x]; outs [n digits LE]
+  OP_RANDOM_ACCESS = 3,  // params [bits]; deps [idx, items...]; outs [bits LE..., claimed]
+  OP_POSEIDON = 4,       // deps [12 in, swap]; outs [4+36+22+48+12 trace]
+  OP_IS_EQUAL = 5,       // deps [diff]; outs [b, m]
+  OP_U32_ARITH = 6,      // deps [m0,m1,ad]; outs [lo,hi,inv,32 limbs]
+  OP_U32_ADDMANY = 7,    // deps [addends...,carry]; outs [res,carry,18 limbs]
+  OP_U32_SUB = 8,        // deps [x,y,borrow]; outs [res,ob,16 limbs]
+  OP_U32_RANGECHECK = 9, // deps [x]; outs [16 aux limbs]
+  OP_U32_INTERLEAVE = 10,// deps [x]; outs [inter, 32 bits BE]
+  OP_UNINTERLEAVE = 11,  // params [spread]; deps [x]; outs [evens,odds,64 bits BE]
+  OP_CONSTANTS = 12,     // params [values...]; outs [those values]
+};
+
+struct WitCtx {
+  u64* values;
+  uint8_t* known;
+};
+
+static inline bool wit_set(WitCtx& c, int32_t idx, u64 v) {
+  if (c.known[idx]) return c.values[idx] == v;
+  c.values[idx] = v;
+  c.known[idx] = 1;
+  return true;
+}
+
+// Poseidon fast-partial-round witness trace (must match
+// hash/poseidon.py permute_fast intermediates and PoseidonGate wire order).
+static void poseidon_trace(const u64* in13, u64* outs) {
+  mds_init();
+  u64 st[12];
+  u64 swap = in13[12];
+  int o = 0;
+  for (int i = 0; i < 4; i++) {
+    u64 d = gl_mul1(swap, gl_sub1(in13[i + 4], in13[i]));
+    outs[o++] = d;  // deltas
+    st[i] = gl_add1(in13[i], d);
+    st[i + 4] = gl_sub1(in13[i + 4], d);
+  }
+  for (int i = 8; i < 12; i++) st[i] = in13[i];
+  u64 tmp[12];
+  int rc = 0;
+  for (int r = 0; r < 4; r++) {
+    for (int i = 0; i < 12; i++) st[i] = gl_add1(st[i], POS_RC[12 * rc + i]);
+    if (r != 0)
+      for (int i = 0; i < 12; i++) outs[o++] = st[i];  // full0 sbox inputs
+    for (int i = 0; i < 12; i++) st[i] = sbox7(st[i]);
+    mds_layer(st, tmp);
+    std::memcpy(st, tmp, sizeof(st));
+    rc++;
+  }
+  // partial_first_constant_layer + mds_partial_layer_init
+  for (int i = 0; i < 12; i++) st[i] = gl_add1(st[i], POS_FP_FIRST[i]);
+  tmp[0] = st[0];
+  for (int d = 1; d < 12; d++) tmp[d] = 0;
+  for (int r = 1; r < 12; r++)
+    for (int d = 1; d < 12; d++)
+      tmp[d] = gl_add1(tmp[d], gl_mul1(st[r], POS_FP_INIT[(r - 1) * 11 + (d - 1)]));
+  std::memcpy(st, tmp, sizeof(st));
+  for (int r = 0; r < 22; r++) {
+    outs[o++] = st[0];  // partial sbox input
+    u64 s0 = gl_add1(sbox7(st[0]), POS_FP_RC[r]);
+    // mds_partial_layer_fast
+    u128 dsum = (u128)gl_mul1(s0, 25 /* MDS0TO0 */);
+    for (int i = 1; i < 12; i++)
+      dsum += (u128)gl_mul1(st[i], POS_FP_WHATS[r * 11 + (i - 1)]);
+    tmp[0] = gl_reduce128(dsum);
+    for (int i = 1; i < 12; i++)
+      tmp[i] = gl_add1(st[i], gl_mul1(s0, POS_FP_VS[r * 11 + (i - 1)]));
+    std::memcpy(st, tmp, sizeof(st));
+  }
+  rc += 22;
+  for (int r = 0; r < 4; r++) {
+    for (int i = 0; i < 12; i++) st[i] = gl_add1(st[i], POS_RC[12 * rc + i]);
+    for (int i = 0; i < 12; i++) outs[o++] = st[i];  // full1 sbox inputs
+    for (int i = 0; i < 12; i++) st[i] = sbox7(st[i]);
+    mds_layer(st, tmp);
+    std::memcpy(st, tmp, sizeof(st));
+    rc++;
+  }
+  for (int i = 0; i < 12; i++) outs[o++] = st[i];  // outputs
+}
+
+// Returns: index of next PYTHON instruction (caller executes it and calls
+// back with start = idx+1), n_instr when done, or -(i+1) on a write
+// conflict at instruction i.
+i64 wit_execute_impl(
+    const int32_t* op, const i64* dep_off, const int32_t* dep_cnt,
+    const i64* out_off, const int32_t* out_cnt,
+    const i64* par_off, const int32_t* par_cnt,
+    const int32_t* deps_pool, const int32_t* outs_pool,
+    const u64* params_pool, u64* values, uint8_t* known,
+    i64 n_instr, i64 start) {
+  WitCtx ctx{values, known};
+  u64 dv[256];
+  u64 ov[256];
+  for (i64 i = start; i < n_instr; i++) {
+    int32_t o = op[i];
+    if (o == OP_PYTHON) return i;
+    const int32_t* dix = deps_pool + dep_off[i];
+    const int32_t* oix = outs_pool + out_off[i];
+    const u64* par = params_pool + par_off[i];
+    int nd = dep_cnt[i];
+    int no = out_cnt[i];
+    for (int k = 0; k < nd; k++) dv[k] = values[dix[k]];
+    switch (o) {
+      case OP_ARITH:
+        ov[0] = gl_add1(gl_mul1(gl_mul1(dv[0], dv[1]), par[0]),
+                        gl_mul1(dv[2], par[1]));
+        break;
+      case OP_BASE_SUM: {
+        u64 x = dv[0];
+        u64 base = par[0];
+        for (int k = 0; k < no; k++) { ov[k] = x % base; x /= base; }
+        break;
+      }
+      case OP_RANDOM_ACCESS: {
+        int bits = (int)par[0];
+        u64 idx = dv[0];
+        for (int k = 0; k < bits; k++) ov[k] = (idx >> k) & 1;
+        ov[bits] = dv[1 + (int)idx];
+        break;
+      }
+      case OP_POSEIDON:
+        poseidon_trace(dv, ov);
+        break;
+      case OP_IS_EQUAL: {
+        u64 d = dv[0] % P;
+        if (d == 0) { ov[0] = 1; ov[1] = 0; }
+        else { ov[0] = 0; ov[1] = gl_inv1(d); }
+        break;
+      }
+      case OP_U32_ARITH: {
+        u128 total = (u128)dv[0] * (u128)dv[1] + (u128)dv[2];
+        u64 lo = (u64)(total & 0xFFFFFFFFull);
+        u64 hi = (u64)(total >> 32);
+        ov[0] = lo;
+        ov[1] = hi;
+        ov[2] = hi == 0xFFFFFFFFull ? 0 : gl_inv1(0xFFFFFFFFull - hi);
+        for (int j = 0; j < 32; j++) ov[3 + j] = (u64)((total >> (2 * j)) & 3);
+        break;
+      }
+      case OP_U32_ADDMANY: {
+        u64 total = 0;
+        for (int k = 0; k < nd; k++) total += dv[k];
+        ov[0] = total & 0xFFFFFFFFull;
+        ov[1] = total >> 32;
+        for (int j = 0; j < 18; j++) ov[2 + j] = (total >> (2 * j)) & 3;
+        break;
+      }
+      case OP_U32_SUB: {
+        int64_t diff = (int64_t)dv[0] - (int64_t)dv[1] - (int64_t)dv[2];
+        u64 ob = diff < 0 ? 1 : 0;
+        u64 res = (u64)(diff + ((int64_t)ob << 32));
+        ov[0] = res;
+        ov[1] = ob;
+        for (int j = 0; j < 16; j++) ov[2 + j] = (res >> (2 * j)) & 3;
+        break;
+      }
+      case OP_U32_RANGECHECK: {
+        u64 x = dv[0];
+        for (int j = 0; j < 16; j++) ov[j] = (x >> (2 * j)) & 3;
+        break;
+      }
+      case OP_U32_INTERLEAVE: {
+        u64 x = dv[0];
+        u64 inter = 0;
+        for (int b = 0; b < 32; b++) inter |= ((x >> b) & 1) << (2 * b);
+        ov[0] = inter;
+        for (int j = 0; j < 32; j++) ov[1 + j] = (x >> (31 - j)) & 1;
+        break;
+      }
+      case OP_UNINTERLEAVE: {
+        u64 x = dv[0] % P;
+        bool spread = par[0] != 0;
+        u64 evens = 0, odds = 0;
+        for (int j = 0; j < 32; j++) {
+          int sh = spread ? 2 * (31 - j) : (31 - j);
+          evens += ((x >> (63 - 2 * j)) & 1) << sh;
+          odds += ((x >> (62 - 2 * j)) & 1) << sh;
+        }
+        ov[0] = evens;
+        ov[1] = odds;
+        for (int j = 0; j < 64; j++) ov[2 + j] = (x >> (63 - j)) & 1;
+        break;
+      }
+      case OP_CONSTANTS:
+        for (int k = 0; k < no; k++) ov[k] = params_pool[par_off[i] + k];
+        break;
+      default:
+        return -(i + 1);
+    }
+    (void)par_cnt;
+    for (int k = 0; k < no; k++)
+      if (!wit_set(ctx, oix[k], ov[k])) return -(i + 1);
+  }
+  return n_instr;
+}
+
+extern "C" i64 wit_execute(
+    const int32_t* op, const i64* dep_off, const int32_t* dep_cnt,
+    const i64* out_off, const int32_t* out_cnt,
+    const i64* par_off, const int32_t* par_cnt,
+    const int32_t* deps_pool, const int32_t* outs_pool,
+    const u64* params_pool, u64* values, uint8_t* known,
+    i64 n_instr, i64 start) {
+  return wit_execute_impl(op, dep_off, dep_cnt, out_off, out_cnt, par_off,
+                          par_cnt, deps_pool, outs_pool, params_pool, values,
+                          known, n_instr, start);
+}
+
+}  // extern "C"

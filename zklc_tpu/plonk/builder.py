@@ -288,7 +288,8 @@ class CircuitBuilder:
                 return [np.uint64(1), np.uint64(0)]
             return [np.uint64(0), np.uint64(pow(d, gl64.P - 2, gl64.P))]
 
-        self.add_generator([diff], [bt, m], hint)
+        self.generators.append(G.Generator([diff], [bt, m], hint,
+                                           op=("IS_EQUAL", [])))
         self.assert_zero(self.mul(bt, diff))
         self.assert_one(self.mul_add(diff, m, bt))
         return bt

@@ -25,14 +25,20 @@ UNUSED_SELECTOR = (1 << 32) - 1
 # ---------------------------------------------------------------------------
 
 class Generator:
-    """deps -> fn(values) -> outs.  Targets are builder-encoded ints."""
+    """deps -> fn(values) -> outs.  Targets are builder-encoded ints.
 
-    __slots__ = ("deps", "outs", "fn")
+    `op` optionally names a typed opcode + u64 params for the native witness
+    VM (zklc_tpu/native wit_execute); generators without one run as Python
+    closures through the tape's PYTHON escape.
+    """
 
-    def __init__(self, deps, outs, fn):
+    __slots__ = ("deps", "outs", "fn", "op")
+
+    def __init__(self, deps, outs, fn, op=None):
         self.deps = deps
         self.outs = outs
         self.fn = fn
+        self.op = op
 
 
 def reduce_with_powers(alg, values, x):
@@ -200,7 +206,8 @@ class ArithmeticGate(Gate):
                 x, y, z = vals
                 return [gl64.add(gl64.mul(gl64.mul(x, y), c0), gl64.mul(z, c1))]
 
-            gens.append(Generator(deps, outs, fn))
+            gens.append(Generator(deps, outs, fn,
+                                  op=("ARITH", [int(c0), int(c1)])))
         return gens
 
 
@@ -251,7 +258,7 @@ class BaseSumGate(Gate):
                 x //= base
             return out
 
-        return [Generator(deps, outs, fn)]
+        return [Generator(deps, outs, fn, op=("BASE_SUM", [base, n]))]
 
 
 class RandomAccessGate(Gate):
@@ -357,7 +364,8 @@ class RandomAccessGate(Gate):
                 out.append(np.uint64(vals[1 + idx]))
                 return out
 
-            gens.append(Generator(deps, outs, fn))
+            gens.append(Generator(deps, outs, fn,
+                                  op=("RANDOM_ACCESS", [nbits])))
         return gens
 
 
@@ -576,4 +584,4 @@ class PoseidonGate(Gate):
             out_vals += list(st)
             return [np.uint64(x) for x in out_vals]
 
-        return [Generator(deps, outs, fn)]
+        return [Generator(deps, outs, fn, op=("POSEIDON", []))]

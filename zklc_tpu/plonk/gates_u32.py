@@ -132,7 +132,7 @@ class U32ArithmeticGate(Gate):
                         for j in range(self.NUM_LIMBS)]
                 return res
 
-            gens.append(Generator(deps, outs, fn))
+            gens.append(Generator(deps, outs, fn, op=("U32_ARITH", [])))
         return gens
 
 
@@ -236,7 +236,7 @@ class U32AddManyGate(Gate):
                       for j in range(self.num_limbs)]
                 return r
 
-            gens.append(Generator(deps, outs, fn))
+            gens.append(Generator(deps, outs, fn, op=("U32_ADDMANY", [])))
         return gens
 
 
@@ -329,7 +329,7 @@ class U32SubtractionGate(Gate):
                       for j in range(self.NUM_LIMBS)]
                 return r
 
-            gens.append(Generator(deps, outs, fn))
+            gens.append(Generator(deps, outs, fn, op=("U32_SUB", [])))
         return gens
 
 
@@ -388,7 +388,7 @@ class U32RangeCheckGate(Gate):
                 return [np.uint64((x >> (2 * j)) & 3)
                         for j in range(self.AUX_PER_INPUT)]
 
-            gens.append(Generator(deps, outs, fn))
+            gens.append(Generator(deps, outs, fn, op=("U32_RANGECHECK", [])))
         return gens
 
 
@@ -464,7 +464,7 @@ class U32InterleaveGate(Gate):
                 r += [np.uint64((x >> (31 - j)) & 1) for j in range(32)]
                 return r
 
-            gens.append(Generator(deps, outs, fn))
+            gens.append(Generator(deps, outs, fn, op=("U32_INTERLEAVE", [])))
         return gens
 
 
@@ -560,7 +560,8 @@ class _UninterleaveBase(Gate):
                 return [np.uint64(evens), np.uint64(odds)] + \
                     [np.uint64(b) for b in bits_be]
 
-            gens.append(Generator(deps, outs, fn))
+            gens.append(Generator(deps, outs, fn,
+                                  op=("UNINTERLEAVE", [1 if spread else 0])))
         return gens
 
 

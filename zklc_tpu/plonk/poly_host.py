@@ -10,6 +10,12 @@ import numpy as np
 
 from ..field import gl64
 
+try:
+    from .. import native as _native
+    _NATIVE = _native if _native.available else None
+except Exception:  # pragma: no cover
+    _NATIVE = None
+
 
 def field_sum(a: np.ndarray, axis: int = -1) -> np.ndarray:
     """Sum mod p along axis via pairwise tree reduction."""
@@ -28,6 +34,8 @@ def field_sum(a: np.ndarray, axis: int = -1) -> np.ndarray:
 
 def cumprod(a: np.ndarray) -> np.ndarray:
     """Inclusive prefix product mod p along axis 0 (Hillis-Steele scan)."""
+    if _NATIVE is not None and np.asarray(a).ndim == 1:
+        return _NATIVE.cumprod(a)
     out = np.asarray(a, dtype=np.uint64).copy()
     n = out.shape[0]
     s = 1
@@ -45,6 +53,8 @@ def batch_inverse(a: np.ndarray) -> np.ndarray:
     n = flat.shape[0]
     if n == 0:
         return flat.reshape(np.asarray(a).shape)
+    if _NATIVE is not None:
+        return _NATIVE.batch_inverse(flat).reshape(np.asarray(a).shape)
     pre = cumprod(flat)                     # inclusive prefix
     suf = cumprod(flat[::-1])[::-1]         # inclusive suffix
     total = pre[-1]
@@ -71,6 +81,8 @@ def ext_powers(x: np.ndarray, n: int) -> np.ndarray:
 
 
 def base_powers(x: int, n: int) -> np.ndarray:
+    if _NATIVE is not None:
+        return _NATIVE.powers(int(x) % gl64.P, n)
     out = np.full(n, np.uint64(int(x) % gl64.P), dtype=np.uint64)
     out[0] = 1
     s = 1

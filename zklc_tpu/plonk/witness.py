@@ -31,8 +31,38 @@ class WitnessResult:
         return self.values.get(self.ds.find(target), np.uint64(0))
 
 
+try:
+    from .. import native as _native
+    _NATIVE = _native if _native.available else None
+except Exception:  # pragma: no cover
+    _NATIVE = None
+
+
 def generate_witness(data: ProverData, inputs: dict) -> "WitnessResult":
-    """inputs: {target: value}.  Returns wires (n, num_wires) + value lookup."""
+    """inputs: {target: value}.  Returns wires (n, num_wires) + value lookup.
+
+    With the native library present, compiles the generator list to a typed
+    instruction tape once per (circuit, seeded-target-set) and executes it
+    in C++ (witness_tape.py); the Python worklist below is the reference
+    implementation and fallback.
+    """
+    if _NATIVE is not None:
+        from . import witness_tape as wt
+        seed_key = frozenset(data.rep_of.find(t) for t in inputs)
+        tapes = getattr(data, "_tapes", None)
+        if tapes is None:
+            tapes = {}
+            data._tapes = tapes
+        tape = tapes.get(seed_key)
+        try:
+            if tape is None:
+                tape = wt.compile_tape(data, inputs.keys())
+                tapes[seed_key] = tape
+            return wt.execute_tape(tape, data, inputs)
+        except wt.TapeConflict as e:
+            raise WitnessConflict(str(e)) from e
+        except wt.TapeStall as e:
+            raise WitnessConflict(str(e)) from e
     ds = data.rep_of
     values: dict[int, np.uint64] = {}
 

@@ -1,0 +1,270 @@
+"""Witness tape: compile a circuit's generator list once into a flat typed
+instruction stream, execute it natively per prove.
+
+The Python worklist in witness.py schedules generators by value
+availability.  For a fixed circuit and a fixed set of seeded input targets,
+that schedule is the same on every prove — so we compute it once (value-
+free), lower every typed generator (Generator.op) to a native opcode, and
+let the C++ VM (zklc_tpu/native wit_execute) stream through the tape.
+Python-closure generators (gadget big-int hints) stay as PYTHON escapes:
+the VM returns at each one, we run the closure, and resume.
+
+Dep-free Python generators (e.g. ConstantGate wire fills) are evaluated at
+compile time and frozen into CONSTANTS instructions — their values depend
+only on the built circuit, never on prove inputs.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .builder import ProverData, WIRE_STRIDE
+
+OPCODES = {
+    "PYTHON": 0, "ARITH": 1, "BASE_SUM": 2, "RANDOM_ACCESS": 3,
+    "POSEIDON": 4, "IS_EQUAL": 5, "U32_ARITH": 6, "U32_ADDMANY": 7,
+    "U32_SUB": 8, "U32_RANGECHECK": 9, "U32_INTERLEAVE": 10,
+    "UNINTERLEAVE": 11, "CONSTANTS": 12,
+}
+
+_MAX_FAN = 255  # C++ VM scratch-buffer bound
+
+
+class TapeStall(Exception):
+    pass
+
+
+class Tape:
+    __slots__ = ("n_reps", "op", "dep_off", "dep_cnt", "out_off", "out_cnt",
+                 "par_off", "par_cnt", "deps_pool", "outs_pool", "params_pool",
+                 "py_fns", "wire_pos", "wire_repidx", "input_reps_key",
+                 "n_instr", "_rep_index")
+
+
+def _schedule(gens, dep_reps, out_reps, seeded: set) -> list:
+    """Value-free worklist: returns generator indices in a valid run order."""
+    from collections import deque
+    known = set(seeded)
+    watchers: dict = {}
+    remaining = [0] * len(gens)
+    ready = deque()
+    for gi in range(len(gens)):
+        cnt = 0
+        for rep in dep_reps[gi]:
+            if rep not in known:
+                cnt += 1
+                watchers.setdefault(rep, []).append(gi)
+        remaining[gi] = cnt
+        if cnt == 0:
+            ready.append(gi)
+    order = []
+    ran = [False] * len(gens)
+    while ready:
+        gi = ready.popleft()
+        if ran[gi]:
+            continue
+        ran[gi] = True
+        order.append(gi)
+        for rep in out_reps[gi]:
+            if rep in known:
+                continue
+            known.add(rep)
+            for wgi in watchers.get(rep, ()):
+                remaining[wgi] -= 1
+                if remaining[wgi] == 0:
+                    ready.append(wgi)
+    if len(order) != len(gens):
+        stuck = [gi for gi in range(len(gens)) if not ran[gi]]
+        raise TapeStall(f"{len(stuck)} generators never ran; first stuck "
+                        f"deps: {gens[stuck[0]].deps[:8]}")
+    return order
+
+
+def compile_tape(data: ProverData, input_targets) -> Tape:
+    ds = data.rep_of
+    gens = data.generators
+
+    # representative index space
+    rep_index: dict = {}
+
+    def idx_of(rep):
+        i = rep_index.get(rep)
+        if i is None:
+            i = len(rep_index)
+            rep_index[rep] = i
+        return i
+
+    seeded = set()
+    for t in input_targets:
+        seeded.add(ds.find(t))
+    for rep in seeded:
+        idx_of(rep)
+
+    dep_reps = []
+    out_reps = []
+    for g in gens:
+        dr = [ds.find(d) for d in g.deps]
+        orp = [ds.find(o) for o in g.outs]
+        dep_reps.append(dr)
+        out_reps.append(orp)
+        for r in dr:
+            idx_of(r)
+        for r in orp:
+            idx_of(r)
+    for t in data.public_input_targets:
+        idx_of(ds.find(t))
+    for t, rep in data.wire_to_rep.items():
+        idx_of(rep)
+
+    order = _schedule(gens, dep_reps, out_reps, seeded)
+
+    n = len(order)
+    op = np.zeros(n, dtype=np.int32)
+    dep_off = np.zeros(n, dtype=np.int64)
+    dep_cnt = np.zeros(n, dtype=np.int32)
+    out_off = np.zeros(n, dtype=np.int64)
+    out_cnt = np.zeros(n, dtype=np.int32)
+    par_off = np.zeros(n, dtype=np.int64)
+    par_cnt = np.zeros(n, dtype=np.int32)
+    deps_pool: list = []
+    outs_pool: list = []
+    params_pool: list = []
+    py_fns: dict = {}
+
+    for pos, gi in enumerate(order):
+        g = gens[gi]
+        dix = [rep_index[r] for r in dep_reps[gi]]
+        oix = [rep_index[r] for r in out_reps[gi]]
+        name = g.op[0] if g.op is not None else None
+        params = list(g.op[1]) if g.op is not None else []
+        if name is None and not g.deps:
+            # freeze dep-free Python generators at compile time
+            vals = g.fn([])
+            name = "CONSTANTS"
+            params = [int(v) % (2 ** 64) for v in vals]
+        if (name is None or len(dix) > _MAX_FAN or len(oix) > _MAX_FAN):
+            code = OPCODES["PYTHON"]
+            py_fns[pos] = (g.fn, np.array(dix, dtype=np.int64),
+                           np.array(oix, dtype=np.int64))
+            params = []
+        else:
+            code = OPCODES[name]
+        op[pos] = code
+        dep_off[pos] = len(deps_pool)
+        dep_cnt[pos] = len(dix)
+        deps_pool.extend(dix)
+        out_off[pos] = len(outs_pool)
+        out_cnt[pos] = len(oix)
+        outs_pool.extend(oix)
+        par_off[pos] = len(params_pool)
+        par_cnt[pos] = len(params)
+        params_pool.extend(params)
+
+    t = Tape()
+    t.n_reps = len(rep_index)
+    t.n_instr = n
+    t.op = op
+    t.dep_off, t.dep_cnt = dep_off, dep_cnt
+    t.out_off, t.out_cnt = out_off, out_cnt
+    t.par_off, t.par_cnt = par_off, par_cnt
+    t.deps_pool = np.array(deps_pool, dtype=np.int32)
+    t.outs_pool = np.array(outs_pool, dtype=np.int32)
+    t.params_pool = np.array(params_pool, dtype=np.uint64)
+    t.py_fns = py_fns
+
+    # wires fill: flat positions into (degree, num_wires) and source indices
+    num_wires = data.common.config.num_wires
+    pos_list = []
+    src_list = []
+    for t_wire, rep in data.wire_to_rep.items():
+        pos_list.append((t_wire // WIRE_STRIDE) * num_wires
+                        + (t_wire % WIRE_STRIDE))
+        src_list.append(rep_index[rep])
+    t.wire_pos = np.array(pos_list, dtype=np.int64)
+    t.wire_repidx = np.array(src_list, dtype=np.int64)
+    t.input_reps_key = frozenset(seeded)
+    # rep_index is needed for .get() lookups
+    t._rep_index = rep_index
+    return t
+
+
+class TapeWitnessResult:
+    __slots__ = ("wires", "values_arr", "ds", "rep_index")
+
+    def __init__(self, wires, values_arr, ds, rep_index):
+        self.wires = wires
+        self.values_arr = values_arr
+        self.ds = ds
+        self.rep_index = rep_index
+
+    def get(self, target: int):
+        i = self.rep_index.get(self.ds.find(target))
+        if i is None:
+            return np.uint64(0)
+        return self.values_arr[i]
+
+
+class TapeConflict(Exception):
+    pass
+
+
+def execute_tape(tape: Tape, data: ProverData, inputs: dict):
+    from .. import native
+    import ctypes
+
+    ds = data.rep_of
+    values = np.zeros(tape.n_reps, dtype=np.uint64)
+    known = np.zeros(tape.n_reps, dtype=np.uint8)
+    for t, v in inputs.items():
+        i = tape._rep_index[ds.find(t)]
+        v = np.uint64(int(v) % (2 ** 64))
+        if known[i] and values[i] != v:
+            raise TapeConflict(f"input target {t}: {values[i]} != {v}")
+        values[i] = v
+        known[i] = 1
+
+    lib = native._lib
+    i64 = ctypes.c_int64
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def pu64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+    def pu8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    pos = 0
+    while True:
+        ret = lib.wit_execute(
+            p32(tape.op), p64(tape.dep_off), p32(tape.dep_cnt),
+            p64(tape.out_off), p32(tape.out_cnt),
+            p64(tape.par_off), p32(tape.par_cnt),
+            p32(tape.deps_pool), p32(tape.outs_pool), pu64(tape.params_pool),
+            pu64(values), pu8(known), i64(tape.n_instr), i64(pos))
+        if ret < 0:
+            raise TapeConflict(f"witness conflict at instruction {-ret - 1}")
+        if ret >= tape.n_instr:
+            break
+        # PYTHON escape
+        fn, dix, oix = tape.py_fns[ret]
+        vals = [values[i] for i in dix]
+        outs = fn(vals)
+        for i, v in zip(oix, outs):
+            v = np.uint64(int(v) % (2 ** 64))
+            if known[i] and values[i] != v:
+                raise TapeConflict(
+                    f"witness conflict at python instruction {ret}")
+            values[i] = v
+            known[i] = 1
+        pos = ret + 1
+
+    n = data.common.degree
+    num_wires = data.common.config.num_wires
+    wires = np.zeros(n * num_wires, dtype=np.uint64)
+    wires[tape.wire_pos] = values[tape.wire_repidx]
+    return TapeWitnessResult(wires.reshape(n, num_wires), values, ds,
+                             tape._rep_index)
