@@ -73,6 +73,8 @@ def _load():
         i32p, i64p, i32p, i64p, i32p, i64p, i32p,
         i32p, i32p, u64p, u64p, u8p, i64, i64]
     lib.wit_execute.restype = ctypes.c_int64
+    lib.poseidon_grind.argtypes = [u64p, u64p, i64, ctypes.c_int]
+    lib.poseidon_grind.restype = ctypes.c_uint64
     _lib = lib
     return lib
 
@@ -153,6 +155,14 @@ def poseidon_hash_leaves(rows: np.ndarray) -> np.ndarray:
     out = np.empty((n, 4), dtype=np.uint64)
     _lib.poseidon_hash_leaves(_ptr(rows), n, row_len, _ptr(out))
     return out
+
+
+def poseidon_grind(base_state: np.ndarray, buf: np.ndarray,
+                   pow_bits: int) -> int:
+    base_state = _c64(base_state)
+    buf = _c64(buf)
+    return int(_lib.poseidon_grind(_ptr(base_state), _ptr(buf),
+                                   buf.size, pow_bits))
 
 
 def poseidon_merkle_level(digests: np.ndarray) -> np.ndarray:

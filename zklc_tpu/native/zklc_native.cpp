@@ -257,6 +257,24 @@ void poseidon_merkle_level(const u64* digests, u64* out, i64 m) {
   }
 }
 
+// FRI proof-of-work grind: find witness w such that duplexing the
+// challenger state with [buf..., w] gives a challenge (squeezed from
+// state[7]) with >= pow_bits leading zero bits.  Mirrors the duplex
+// discipline of hash/poseidon.py Challenger (itself the reference
+// verifier's transcript, gnark-plonky2-verifier/challenger/challenger.go).
+u64 poseidon_grind(const u64* base_state, const u64* buf, i64 nbuf,
+                   int pow_bits) {
+  u64 threshold = pow_bits >= 64 ? 0 : (u64)1 << (64 - pow_bits);
+  for (u64 cand = 0;; cand++) {
+    u64 st[12];
+    std::memcpy(st, base_state, sizeof(st));
+    for (i64 i = 0; i < nbuf; i++) st[i] = buf[i];
+    st[nbuf] = cand;
+    poseidon_permute1(st);
+    if (st[7] < threshold) return cand;
+  }
+}
+
 // ---------------------------------------------------------- witness tape --
 // Typed witness-generation VM.  The Python builder compiles each circuit's
 // generator list into a flat instruction tape (see plonk/witness_tape.py);

@@ -20,10 +20,58 @@ from ..ops import ntt as ntt_ops
 from ..ops import poseidon_tpu
 from ..hash import poseidon as pos
 
+try:
+    from .. import native as _native
+    _NATIVE = _native if _native.available else None
+except Exception:  # pragma: no cover
+    _NATIVE = None
+
 
 @functools.lru_cache(maxsize=None)
 def bit_rev_perm(log_n: int) -> np.ndarray:
     return ntt_ops._bit_rev_indices(log_n).astype(np.int64)
+
+
+def _use_host_path() -> bool:
+    """Native host commitments when the jax backend is CPU: XLA:CPU NTT/
+    Merkle graphs are orders of magnitude slower than the C++ kernels; on
+    real TPU the device path wins and is used unchanged."""
+    if _NATIVE is None:
+        return False
+    import jax
+    return jax.default_backend() == "cpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _root_fwd(log_n: int) -> int:
+    return gl64.primitive_root_of_unity(log_n)
+
+
+@functools.lru_cache(maxsize=None)
+def _root_inv(log_n: int) -> int:
+    return pow(_root_fwd(log_n), gl64.P - 2, gl64.P)
+
+
+def host_intt(values_u64: np.ndarray, log_n: int) -> np.ndarray:
+    out = _NATIVE.ntt_rows(values_u64.copy(), log_n, _root_inv(log_n))
+    n_inv = pow(1 << log_n, gl64.P - 2, gl64.P)
+    return gl64.mul(out, np.uint64(n_inv))
+
+
+def host_coset_ntt(coeffs_u64: np.ndarray, log_n: int,
+                   shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR
+                   ) -> np.ndarray:
+    pw = _NATIVE.powers(shift, 1 << log_n)
+    scaled = gl64.mul(coeffs_u64, pw)
+    return _NATIVE.ntt_rows(scaled, log_n, _root_fwd(log_n))
+
+
+def host_merkle_levels(leaves_u64: np.ndarray, cap_height: int) -> list:
+    """leaves (N, L) -> [leaf digests (N,4), ..., cap (2^cap_height,4)]."""
+    levels = [_NATIVE.poseidon_hash_leaves(leaves_u64)]
+    while levels[-1].shape[0] > (1 << cap_height):
+        levels.append(_NATIVE.poseidon_merkle_level(levels[-1]))
+    return levels
 
 
 class PolynomialBatch:
@@ -47,6 +95,25 @@ class PolynomialBatch:
         self.cap_height = cap_height
         self.log_n = log_n
 
+        if _use_host_path():
+            if values_are_coeffs:
+                coeffs = values_u64
+            else:
+                coeffs = host_intt(values_u64, log_n)
+            self.coeffs = coeffs
+            lde_log = log_n + rate_bits
+            padded = np.zeros((num_polys, 1 << lde_log), dtype=np.uint64)
+            padded[:, :n] = coeffs
+            lde_u64 = host_coset_ntt(padded, lde_log)
+            self._lde_u64 = lde_u64
+            self._lde_natural = None
+            rev = bit_rev_perm(lde_log)
+            leaves = np.ascontiguousarray(lde_u64[:, rev].T)
+            self.leaves_u64 = leaves
+            self.levels_u64 = host_merkle_levels(leaves, cap_height)
+            self.cap_u64 = self.levels_u64[-1]
+            return
+
         dev_vals = gl.from_u64_np(values_u64)
         if values_are_coeffs:
             coeffs_dev = dev_vals
@@ -60,7 +127,7 @@ class PolynomialBatch:
         chi = jnp.concatenate([coeffs_dev[0], zhi], axis=-1)
         clo = jnp.concatenate([coeffs_dev[1], zhi], axis=-1)
         lde = ntt_ops.coset_ntt((chi, clo), log_n + rate_bits)
-        self.lde_natural = lde
+        self._lde_natural = lde
 
         # bit-reversed leaves: (lde_size, num_polys)
         rev = jnp.asarray(bit_rev_perm(log_n + rate_bits))
@@ -74,9 +141,17 @@ class PolynomialBatch:
     @property
     def lde_values_u64(self) -> np.ndarray:
         """Host copy of natural-order LDE values (num_polys, lde_size)."""
-        if not hasattr(self, "_lde_u64"):
-            self._lde_u64 = gl.to_u64_np(self.lde_natural)
+        if getattr(self, "_lde_u64", None) is None:
+            self._lde_u64 = gl.to_u64_np(self._lde_natural)
         return self._lde_u64
+
+    @property
+    def lde_natural(self):
+        """Device (hi, lo) natural-order LDE values (built lazily on the
+        host-commit path)."""
+        if getattr(self, "_lde_natural", None) is None:
+            self._lde_natural = gl.from_u64_np(self._lde_u64)
+        return self._lde_natural
 
     def merkle_proof(self, leaf_index: int):
         """Returns (leaf_values (num_polys,), siblings (depth, 4))."""
@@ -118,10 +193,14 @@ class ExtPolynomialBatch:
         num_leaves = m // arity
         # leaf i = [v[i*arity+0].0, v[i*arity+0].1, v[i*arity+1].0, ...]
         leaves = v.reshape(num_leaves, arity * 2)
-        dev_leaves = gl.from_u64_np(leaves)
-        levels, cap = poseidon_tpu.merkle_tree_levels(dev_leaves, cap_height)
         self.leaves_u64 = leaves
-        self.levels_u64 = [gl.to_u64_np(lv) for lv in levels]
+        if _use_host_path():
+            self.levels_u64 = host_merkle_levels(
+                np.ascontiguousarray(leaves), cap_height)
+        else:
+            dev_leaves = gl.from_u64_np(leaves)
+            levels, cap = poseidon_tpu.merkle_tree_levels(dev_leaves, cap_height)
+            self.levels_u64 = [gl.to_u64_np(lv) for lv in levels]
         self.cap_u64 = self.levels_u64[-1]
 
     def merkle_proof(self, leaf_index: int):

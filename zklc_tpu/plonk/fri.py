@@ -39,9 +39,14 @@ def ext_lde_bitrev(coeffs_ext: np.ndarray, log_n: int, rate_bits: int,
     pad = m * ((1 << rate_bits) - 1)
     comp = np.concatenate(
         [coeffs_ext, np.zeros((pad, 2), dtype=np.uint64)], axis=0).T  # (2, m*8)
-    dev = gl.from_u64_np(np.ascontiguousarray(comp))
-    vals = ntt_ops.coset_ntt(dev, log_n + rate_bits, shift % gl64.P)
-    vals_u64 = gl.to_u64_np(vals)  # (2, lde)
+    from . import commitment as _c
+    if _c._use_host_path():
+        vals_u64 = _c.host_coset_ntt(np.ascontiguousarray(comp),
+                                     log_n + rate_bits, shift % gl64.P)
+    else:
+        dev = gl.from_u64_np(np.ascontiguousarray(comp))
+        vals = ntt_ops.coset_ntt(dev, log_n + rate_bits, shift % gl64.P)
+        vals_u64 = gl.to_u64_np(vals)  # (2, lde)
     rev = bit_rev_perm(log_n + rate_bits)
     return vals_u64[:, rev].T  # (lde, 2)
 
@@ -67,11 +72,16 @@ def grind_pow(challenger: pos.Challenger, pow_bits: int,
     TPU-native: the grind is a batched device Poseidon search — one duplex
     permutation per candidate, vectorized over the batch axis (the reference
     grinds sequentially on CPU threads; SURVEY.md §7 maps this to a batch
-    kernel)."""
+    kernel).  On the CPU backend the native C++ grind loop is used."""
     from ..ops import poseidon_tpu
     base_state = challenger.sponge_state.copy()
     buf = list(challenger.input_buffer)
     nbuf = len(buf)
+    from . import commitment as _c
+    if _c._use_host_path() and nbuf < 8:
+        from .. import native
+        return native.poseidon_grind(
+            base_state, np.array(buf, dtype=np.uint64), pow_bits)
     start = 0
     while True:
         cands = np.arange(start, start + batch, dtype=np.uint64)

@@ -382,17 +382,28 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     import os as _os
     from ..field import gl2x32 as gl
     from ..ops import ntt as ntt_ops
+    from . import commitment as _cm
     if _os.environ.get("ZKLC_DEVICE_QUOTIENT") == "1":
         qdev = eval_vanishing_on_coset_device(
             data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
             betas, gammas, alphas)
+        quotient_values = None
     else:
         quotient_values = eval_vanishing_on_coset(
             data, wires_comm.lde_values_u64, cs_comm.lde_values_u64,
             zs_pp_comm.lde_values_u64, pi_hash, betas, gammas, alphas)
-        qdev = gl.from_u64_np(quotient_values)
-    qcoeffs = gl.to_u64_np(ntt_ops.coset_intt(
-        qdev, common.degree_bits + fc.rate_bits))
+        qdev = None
+    lde_log = common.degree_bits + fc.rate_bits
+    if quotient_values is not None and _cm._use_host_path():
+        qcoeffs = _cm.host_intt(quotient_values, lde_log)
+        inv_shift = pow(gl64.MULTIPLICATIVE_GROUP_GENERATOR, gl64.P - 2,
+                        gl64.P)
+        from .. import native as _nat
+        qcoeffs = gl64.mul(qcoeffs, _nat.powers(inv_shift, 1 << lde_log))
+    else:
+        if qdev is None:
+            qdev = gl.from_u64_np(quotient_values)
+        qcoeffs = gl.to_u64_np(ntt_ops.coset_intt(qdev, lde_log))
     # chunks: (nc * 8, n)
     chunks = qcoeffs.reshape(cfg.num_challenges, 1 << fc.rate_bits, n)
     quotient_mat = chunks.reshape(cfg.num_challenges * (1 << fc.rate_bits), n)
