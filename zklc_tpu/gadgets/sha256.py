@@ -160,3 +160,50 @@ class Sha256Ops:
         """block_num = (len*8 + 64 + 512) / 512 (reference
         near_bft_finality/src/prove_crypto/sha256.rs:70)."""
         return (message_len_bytes * 8 + 64 + 512) // 512
+
+    # -- SHA-256 Merkle gadgets (sha256_merkle.rs:9-140) -------------------
+    def _select_hash256(self, bit: int, left: list[int],
+                        right: list[int]) -> list[int]:
+        return [self.b.select(bit, l, r) for l, r in zip(left, right)]
+
+    def compute_merkle_root(self, index_bits: list[int], value: list[int],
+                            siblings: list[list[int]]) -> list[int]:
+        """sha256_merkle.rs:27: walk up the path; bit i selects whether the
+        current node is the right child at level i."""
+        current = value
+        for bit, sibling in zip(index_bits, siblings):
+            left = self._select_hash256(bit, sibling, current)
+            right = self._select_hash256(bit, current, sibling)
+            current = self.two_to_one_sha256(left, right)
+        return current
+
+    def add_merkle_proof_gadget(self, height: int):
+        """MerkleProofSha256Gadget (sha256_merkle.rs:44-89): returns
+        (root, value, siblings, index) targets; root is computed in-circuit
+        from (value, index, siblings)."""
+        siblings = [self.add_virtual_hash256_target() for _ in range(height)]
+        value = self.add_virtual_hash256_target()
+        index = self.b.add_virtual_target()
+        index_bits = self.b.split_le(index, height)
+        root = self.compute_merkle_root(index_bits, value, siblings)
+        return root, value, siblings, index
+
+    def add_delta_merkle_proof_gadget(self, height: int):
+        """DeltaMerkleProofSha256Gadget (sha256_merkle.rs:91-140): proves an
+        update old_value -> new_value at `index` transforms old_root into
+        new_root against shared siblings."""
+        siblings = [self.add_virtual_hash256_target() for _ in range(height)]
+        old_value = self.add_virtual_hash256_target()
+        new_value = self.add_virtual_hash256_target()
+        index = self.b.add_virtual_target()
+        index_bits = self.b.split_le(index, height)
+        old_root = self.compute_merkle_root(index_bits, old_value, siblings)
+        new_root = self.compute_merkle_root(index_bits, new_value, siblings)
+        return old_root, old_value, new_root, new_value, siblings, index
+
+    @staticmethod
+    def set_hash256_target(target: list[int], digest: bytes, inputs: dict):
+        assert len(digest) == 32
+        for i, t in enumerate(target):
+            inputs[t] = np.uint64(
+                int.from_bytes(digest[4 * i: 4 * i + 4], "big"))

@@ -175,3 +175,32 @@ class U32Ops:
     def conditional_u32(self, x: int, y: int, sel: int) -> int:
         """sel ? x : y (sel boolean)."""
         return self.b.select(sel, x, y)
+
+    # -- comparisons (ComparisonGate; multiple_comparison.rs:15-78) -------
+    def le_bits(self, a: int, b: int, num_bits: int) -> int:
+        """Boolean target: a <= b, both range-checked to num_bits."""
+        nc = (num_bits + 1) // 2
+        gate = GU.ComparisonGate(num_bits, nc)
+        row = self.b.add_gate(gate)
+        self.b.connect(a, self.b.wire_t(row, gate.w_first()))
+        self.b.connect(b, self.b.wire_t(row, gate.w_second()))
+        return self.b.wire_t(row, gate.w_result())
+
+    def list_le(self, a: list[int], b: list[int], num_bits: int) -> int:
+        """Boolean: a <= b as base-2^num_bits limb lists (limb 0 least
+        significant).  Range-checks all inputs.  Mirrors
+        multiple_comparison.rs:15 list_le_circuit."""
+        assert len(a) == len(b)
+        one = self.b.one()
+        result = one
+        for x, y in zip(a, b):
+            a_le_b = self.le_bits(x, y, num_bits)
+            b_le_a = self.le_bits(y, x, num_bits)
+            limbs_equal = self.b.mul(a_le_b, b_le_a)
+            limbs_less = self.b.sub(one, b_le_a)
+            result = self.b.mul_add(limbs_equal, result, limbs_less)
+        return result
+
+    def list_le_u32(self, a: list[int], b: list[int]) -> int:
+        """multiple_comparison.rs:69 list_le_u32_circuit."""
+        return self.list_le(a, b, 32)

@@ -25,6 +25,7 @@ def _build() -> bool:
                        check=True, capture_output=True)
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-fopenmp",
              os.path.join(HERE, "zklc_native.cpp"), "-o", SO_PATH],
             check=True, capture_output=True)
         return True

@@ -12,6 +12,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #include "poseidon_constants.inc"
 
 typedef unsigned __int128 u128;
@@ -74,6 +78,7 @@ void gl_sub(const u64* a, const u64* b, u64* out, i64 n) {
   for (i64 i = 0; i < n; i++) out[i] = gl_sub1(a[i], b[i]);
 }
 void gl_mul(const u64* a, const u64* b, u64* out, i64 n) {
+#pragma omp parallel for if (n > 1 << 16)
   for (i64 i = 0; i < n; i++) out[i] = gl_mul1(a[i], b[i]);
 }
 void gl_mul_scalar(const u64* a, u64 s, u64* out, i64 n) {
@@ -134,6 +139,7 @@ static void bit_reverse_row(u64* row, int log_n) {
 }
 
 void gl_ntt(u64* data, i64 rows, int log_n, u64 root) {
+  // rows transform independently (parallel below).
   i64 n = (i64)1 << log_n;
   // twiddle table: w^0..w^(n/2-1)
   std::vector<u64> tw((size_t)(n >> 1));
@@ -141,6 +147,7 @@ void gl_ntt(u64* data, i64 rows, int log_n, u64 root) {
     u64 acc = 1;
     for (i64 i = 0; i < (n >> 1); i++) { tw[(size_t)i] = acc; acc = gl_mul1(acc, root); }
   }
+#pragma omp parallel for if (rows > 1)
   for (i64 r = 0; r < rows; r++) {
     u64* row = data + r * n;
     bit_reverse_row(row, log_n);
@@ -218,6 +225,8 @@ static void poseidon_permute1(u64* st) {
 }
 
 void poseidon_permute_batch(u64* states, i64 n) {
+  mds_init();
+#pragma omp parallel for if (n > 512)
   for (i64 i = 0; i < n; i++) poseidon_permute1(states + i * W);
 }
 
@@ -242,12 +251,16 @@ void poseidon_hash_leaves(const u64* rows, i64 n, i64 row_len, u64* out) {
     }
     return;
   }
+  mds_init();
+#pragma omp parallel for if (n > 512)
   for (i64 r = 0; r < n; r++)
     poseidon_hash_no_pad(rows + r * row_len, row_len, out + r * 4);
 }
 
 // One Merkle level: digests (2m, 4) -> parents (m, 4) via two_to_one.
 void poseidon_merkle_level(const u64* digests, u64* out, i64 m) {
+  mds_init();
+#pragma omp parallel for if (m > 512)
   for (i64 i = 0; i < m; i++) {
     u64 st[12] = {0};
     std::memcpy(st, digests + (2 * i) * 4, 4 * sizeof(u64));

@@ -565,6 +565,142 @@ class _UninterleaveBase(Gate):
         return gens
 
 
+class ComparisonGate(Gate):
+    """first <= second over num_bits values via base-2^chunk_bits chunk
+    comparison; result_bool = top bit of (2^chunk_bits + msd) where msd is
+    the (field) difference at the most significant differing chunk.
+
+    Wire layout and constraint set re-derived from
+    crypto/plonky2_u32/src/gates/comparison.rs:37-195 (wires :50-95,
+    constraints :118-195)."""
+
+    def __init__(self, num_bits: int, num_chunks: int):
+        self.num_bits = num_bits
+        self.num_chunks = num_chunks
+
+    @property
+    def chunk_bits(self):
+        return (self.num_bits + self.num_chunks - 1) // self.num_chunks
+
+    def id(self):
+        return (f"ComparisonGate {{ num_bits: {self.num_bits}, num_chunks: "
+                f"{self.num_chunks}, _phantom: PhantomData"
+                f"<plonky2_field::goldilocks_field::GoldilocksField> }}<D=2>")
+
+    # wires (comparison.rs:50-95)
+    def w_first(self):
+        return 0
+
+    def w_second(self):
+        return 1
+
+    def w_result(self):
+        return 2
+
+    def w_msd(self):
+        return 3
+
+    def w_first_chunk(self, c):
+        return 4 + c
+
+    def w_second_chunk(self, c):
+        return 4 + self.num_chunks + c
+
+    def w_eq_dummy(self, c):
+        return 4 + 2 * self.num_chunks + c
+
+    def w_chunks_equal(self, c):
+        return 4 + 3 * self.num_chunks + c
+
+    def w_intermediate(self, c):
+        return 4 + 4 * self.num_chunks + c
+
+    def w_msd_bit(self, i):
+        return 4 + 5 * self.num_chunks + i
+
+    def num_wires(self):
+        return 4 + 5 * self.num_chunks + self.chunk_bits + 1
+
+    def degree(self):
+        return max(1 << self.chunk_bits, 3)
+
+    def num_constraints(self):
+        return 2 + 5 * self.num_chunks + (self.chunk_bits + 1) + 3
+
+    def eval_unfiltered(self, alg, v):
+        w = v.local_wires
+        nc = self.num_chunks
+        cb = self.chunk_bits
+        chunk_base = alg.const(1 << cb)
+        out = []
+        first = w[self.w_first()]
+        second = w[self.w_second()]
+        fch = [w[self.w_first_chunk(c)] for c in range(nc)]
+        sch = [w[self.w_second_chunk(c)] for c in range(nc)]
+        out.append(alg.sub(reduce_with_powers(alg, fch, chunk_base), first))
+        out.append(alg.sub(reduce_with_powers(alg, sch, chunk_base), second))
+        msd_so_far = alg.zero()
+        one = alg.one()
+        for c in range(nc):
+            out.append(_limb_range_product(alg, fch[c], 1 << cb))
+            out.append(_limb_range_product(alg, sch[c], 1 << cb))
+            diff = alg.sub(sch[c], fch[c])
+            eqd = w[self.w_eq_dummy(c)]
+            ceq = w[self.w_chunks_equal(c)]
+            out.append(alg.sub(alg.mul(diff, eqd), alg.sub(one, ceq)))
+            out.append(alg.mul(ceq, diff))
+            inter = w[self.w_intermediate(c)]
+            out.append(alg.sub(inter, alg.mul(ceq, msd_so_far)))
+            msd_so_far = alg.add(inter, alg.mul(alg.sub(one, ceq), diff))
+        msd = w[self.w_msd()]
+        out.append(alg.sub(msd, msd_so_far))
+        bits = [w[self.w_msd_bit(i)] for i in range(cb + 1)]
+        for bit in bits:
+            out.append(alg.mul(bit, alg.sub(one, bit)))
+        combined = reduce_with_powers(alg, bits, alg.const(2))
+        out.append(alg.sub(alg.add(alg.const(1 << cb), msd), combined))
+        out.append(alg.sub(w[self.w_result()], bits[cb]))
+        return out
+
+    def generators(self, builder, row, constants):
+        deps = [builder.wire_t(row, self.w_first()),
+                builder.wire_t(row, self.w_second())]
+        nc, cb = self.num_chunks, self.chunk_bits
+        outs = [builder.wire_t(row, self.w_result()),
+                builder.wire_t(row, self.w_msd())]
+        outs += [builder.wire_t(row, self.w_first_chunk(c)) for c in range(nc)]
+        outs += [builder.wire_t(row, self.w_second_chunk(c)) for c in range(nc)]
+        outs += [builder.wire_t(row, self.w_eq_dummy(c)) for c in range(nc)]
+        outs += [builder.wire_t(row, self.w_chunks_equal(c)) for c in range(nc)]
+        outs += [builder.wire_t(row, self.w_intermediate(c)) for c in range(nc)]
+        outs += [builder.wire_t(row, self.w_msd_bit(i)) for i in range(cb + 1)]
+
+        def fn(vals, nc=nc, cb=cb):
+            P = gl64.P
+            first, second = int(vals[0]), int(vals[1])
+            mask = (1 << cb) - 1
+            fch = [(first >> (cb * c)) & mask for c in range(nc)]
+            sch = [(second >> (cb * c)) & mask for c in range(nc)]
+            eqd, ceq, inter = [], [], []
+            msd = 0
+            for c in range(nc):
+                diff = (sch[c] - fch[c]) % P
+                if diff == 0:
+                    eqd.append(1)
+                    ceq.append(1)
+                else:
+                    eqd.append(pow(diff, P - 2, P))
+                    ceq.append(0)
+                inter.append((ceq[c] * msd) % P)
+                msd = (inter[c] + (1 - ceq[c]) * diff) % P
+            combined = ((1 << cb) + msd) % P
+            bits = [(combined >> i) & 1 for i in range(cb + 1)]
+            out = [bits[cb], msd] + fch + sch + eqd + ceq + inter + bits
+            return [np.uint64(x) for x in out]
+
+        return [Generator(deps, outs, fn)]
+
+
 class UninterleaveToU32Gate(_UninterleaveBase):
     SPREAD = False
 

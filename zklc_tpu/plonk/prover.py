@@ -383,7 +383,9 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     from ..field import gl2x32 as gl
     from ..ops import ntt as ntt_ops
     from . import commitment as _cm
-    if _os.environ.get("ZKLC_DEVICE_QUOTIENT") == "1":
+    _q = _os.environ.get("ZKLC_DEVICE_QUOTIENT", "auto")
+    import jax as _jax
+    if _q == "1" or (_q == "auto" and _jax.default_backend() == "tpu"):
         qdev = eval_vanishing_on_coset_device(
             data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
             betas, gammas, alphas)
