@@ -78,7 +78,7 @@ def grind_pow(challenger: pos.Challenger, pow_bits: int,
     buf = list(challenger.input_buffer)
     nbuf = len(buf)
     from . import commitment as _c
-    if _c._use_host_path() and nbuf < 8:
+    if _c._NATIVE is not None and nbuf < 8:
         from .. import native
         return native.poseidon_grind(
             base_state, np.array(buf, dtype=np.uint64), pow_bits)

@@ -122,56 +122,48 @@ def compute_zs_partial_products(common, wires, sigmas_rows, betas, gammas):
 _vanishing_device_cache: dict = {}
 
 
-def eval_vanishing_on_coset_device(data: ProverData, wires_comm,
-                                   cs_comm, zs_pp_comm, pi_hash,
-                                   betas, gammas, alphas):
-    """Device (jit) vanishing-poly evaluation over the whole LDE coset —
-    the prover's hot quotient stage on the TPU (gate constraint evaluation
-    runs through DeviceBase, the same algebra-generic gate code as the host
-    and in-circuit paths).  Compiled once per circuit shape; challenges are
-    traced arguments so reproving never recompiles.
+def make_vanishing_fn(common):
+    """Build the traced vanishing-poly evaluator for a circuit.
 
-    Returns device (hi, lo) pair of shape (num_challenges, lde).
+    Returns fn(wires, cs, zspp, zspp_next, pi_hash_d, betas_d, gammas_d,
+    alphas_d, x, zh_inv, l0) over device (hi, lo) pairs whose last axis is
+    ANY number of coset points (the TPU prover maps it over chunks);
+    zspp_next carries the rate-shifted Z rows.  Gate constraint evaluation
+    runs through DeviceBase — the same algebra-generic gate code as the host
+    and in-circuit paths.
     """
-    import jax
     import jax.numpy as jnp
     from .algebra import DeviceBase
-    from ..field import gl2x32 as gl
 
-    common = data.common
     cfg = common.config
-    rate_bits = cfg.fri_config.rate_bits
-    key = id(common)
-    if key not in _vanishing_device_cache:
-        num_selectors = common.num_selectors
-        nc = cfg.num_challenges
-        npp = common.num_partial_products
-        routed = cfg.num_routed_wires
-        q = common.quotient_degree_factor
-        num_chunks = (routed + q - 1) // q
-        rate = 1 << rate_bits
-        k_is = [int(k) for k in common.k_is]
-        gate_types = common.gate_types
-        selector_indices = common.selector_indices
-        selector_groups = common.selector_groups
-        ngc = common.num_gate_constraints
-        nconst = common.num_constants
+    num_selectors = common.num_selectors
+    nc = cfg.num_challenges
+    npp = common.num_partial_products
+    routed = cfg.num_routed_wires
+    q = common.quotient_degree_factor
+    num_chunks = (routed + q - 1) // q
+    k_is = [int(k) for k in common.k_is]
+    gate_types = common.gate_types
+    selector_indices = common.selector_indices
+    selector_groups = common.selector_groups
+    ngc = common.num_gate_constraints
+    nconst = common.num_constants
 
-        def fn(wires, cs, zspp, pi_hash_d, betas_d, gammas_d, alphas_d,
-               x, zh_inv, l0):
-            alg = DeviceBase()
+    def fn(wires, cs, zspp, zspp_next, pi_hash_d, betas_d, gammas_d,
+           alphas_d, x, zh_inv, l0):
+        from ..field import gl2x32 as gl
+        alg = DeviceBase()
 
-            def row(pair, i):
-                return (pair[0][i], pair[1][i])
+        def row(pair, i):
+            return (pair[0][i], pair[1][i])
 
-            constants = [row(cs, i) for i in range(nconst)]
-            sigmas = [row(cs, nconst + i) for i in range(routed)]
-            wires_rows = [row(wires, i) for i in range(cfg.num_wires)]
-            zs = [row(zspp, i) for i in range(nc)]
-            pps = [row(zspp, nc + i) for i in range(nc * npp)]
-            zs_next = [(jnp.roll(z[0], -rate, -1), jnp.roll(z[1], -rate, -1))
-                       for z in zs]
-
+        constants = [row(cs, i) for i in range(nconst)]
+        sigmas = [row(cs, nconst + i) for i in range(routed)]
+        wires_rows = [row(wires, i) for i in range(cfg.num_wires)]
+        zs = [row(zspp, i) for i in range(nc)]
+        pps = [row(zspp, nc + i) for i in range(nc * npp)]
+        zs_next = [row(zspp_next, i) for i in range(nc)]
+        if True:
             vars_ = EvalVars(
                 local_constants=constants[num_selectors:],
                 local_wires=wires_rows,
@@ -237,7 +229,34 @@ def eval_vanishing_on_coset_device(data: ProverData, wires_comm,
                 outs_lo.append(acc[1])
             return (jnp.stack(outs_hi), jnp.stack(outs_lo))
 
-        _vanishing_device_cache[key] = jax.jit(fn)
+    return fn
+
+
+def eval_vanishing_on_coset_device(data: ProverData, wires_comm,
+                                   cs_comm, zs_pp_comm, pi_hash,
+                                   betas, gammas, alphas):
+    """Device (jit) vanishing-poly evaluation over the whole LDE coset.
+    Compiled once per circuit shape; challenges are traced arguments so
+    reproving never recompiles.  Returns device (hi, lo) of shape
+    (num_challenges, lde)."""
+    import jax
+    import jax.numpy as jnp
+
+    common = data.common
+    rate_bits = common.config.fri_config.rate_bits
+    rate = 1 << rate_bits
+    key = id(common)
+    if key not in _vanishing_device_cache:
+        base_fn = make_vanishing_fn(common)
+
+        def full(wires, cs, zspp, pi_hash_d, betas_d, gammas_d, alphas_d,
+                 x, zh_inv, l0):
+            zspp_next = (jnp.roll(zspp[0], -rate, -1),
+                         jnp.roll(zspp[1], -rate, -1))
+            return base_fn(wires, cs, zspp, zspp_next, pi_hash_d, betas_d,
+                           gammas_d, alphas_d, x, zh_inv, l0)
+
+        _vanishing_device_cache[key] = jax.jit(full)
     fn = _vanishing_device_cache[key]
 
     x_np, zh_inv_np, l0_np = _coset_domain(common.degree_bits, rate_bits)
@@ -342,6 +361,12 @@ def eval_vanishing_on_coset(data: ProverData, wires_lde, constants_sigmas_lde,
 
 
 def prove(data: ProverData, inputs: dict) -> Proof:
+    import os as _os
+    import jax as _jax
+    if (_jax.default_backend() == "tpu"
+            and _os.environ.get("ZKLC_TPU_PROVER", "1") != "0"):
+        from . import prover_tpu
+        return prover_tpu.prove(data, inputs)
     common = data.common
     cfg = common.config
     fp: FriParams = common.fri_params
