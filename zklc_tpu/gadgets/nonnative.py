@@ -43,6 +43,36 @@ class NonNativeOps:
         self.u32 = self.big.u32
         self.num_limbs = (modulus.bit_length() + 31) // 32
         self._mod_const = None
+        # lookup mode: one-row foreign-field gates (gates_lookup.py) instead
+        # of the reference-style u32-limb decomposition chains
+        self.lk = b.config.lookup is not None
+        if self.lk:
+            from ..plonk import gates_lookup as GL
+            assert self.num_limbs <= 8
+            self._mul_gate = GL.ForeignFieldMulGate(modulus, b.config)
+            self._add_gate = GL.ForeignFieldAddGate(modulus, False, b.config)
+            self._sub_gate = GL.ForeignFieldAddGate(modulus, True, b.config)
+
+    def _ff_mul_slot(self, a_limbs, c_limbs):
+        g = self._mul_gate
+        row, _, g = self.b.find_slot(g)
+        for j in range(8):
+            self.b.connect(a_limbs[j], self.b.wire_t(row, g.w_a + j))
+            self.b.connect(c_limbs[j], self.b.wire_t(row, g.w_b + j))
+        return [self.b.wire_t(row, g.w_r + j) for j in range(8)]
+
+    def _ff_addsub_slot(self, gate, a_limbs, c_limbs):
+        row, i, g = self.b.find_slot(gate)
+        for j in range(8):
+            self.b.connect(a_limbs[j], self.b.wire_t(row, g.w_a(i, j)))
+            self.b.connect(c_limbs[j], self.b.wire_t(row, g.w_b(i, j)))
+        return [self.b.wire_t(row, g.w_r(i, j)) for j in range(8)]
+
+    def _pad8(self, t: BigUintTarget) -> list:
+        limbs = list(t.limbs[:8])
+        while len(limbs) < 8:
+            limbs.append(self.u32.zero_u32())
+        return limbs
 
     # -- construction ------------------------------------------------------
     def mod_const(self) -> BigUintTarget:
@@ -125,6 +155,11 @@ class NonNativeOps:
 
     # -- field operations ---------------------------------------------------
     def add_nonnative(self, a: NonNativeTarget, c: NonNativeTarget) -> NonNativeTarget:
+        if self.lk:
+            r = self._ff_addsub_slot(self._add_gate, self._pad8(a.value),
+                                     self._pad8(c.value))
+            return NonNativeTarget(BigUintTarget(r[: self.num_limbs]),
+                                   self.modulus)
         raw = self.big.add_biguint(a.value, c.value)
         deps = list(a.value.limbs) + list(c.value.limbs)
         na, nc = a.value.num_limbs, c.value.num_limbs
@@ -137,6 +172,11 @@ class NonNativeOps:
 
     def sub_nonnative(self, a: NonNativeTarget, c: NonNativeTarget) -> NonNativeTarget:
         """a - c mod m as a + (m - c_value)... constrained via a + m - c."""
+        if self.lk:
+            r = self._ff_addsub_slot(self._sub_gate, self._pad8(a.value),
+                                     self._pad8(c.value))
+            return NonNativeTarget(BigUintTarget(r[: self.num_limbs]),
+                                   self.modulus)
         m_plus_a = self.big.add_biguint(
             a.value, self.big.constant_biguint(self.modulus))
         raw = self.big.sub_biguint(m_plus_a, c.value)
@@ -151,6 +191,10 @@ class NonNativeOps:
         return self._mod_op(raw, deps, native, q_limbs=1)
 
     def mul_nonnative(self, a: NonNativeTarget, c: NonNativeTarget) -> NonNativeTarget:
+        if self.lk:
+            r = self._ff_mul_slot(self._pad8(a.value), self._pad8(c.value))
+            return NonNativeTarget(BigUintTarget(r[: self.num_limbs]),
+                                   self.modulus)
         raw = self.big.mul_biguint(a.value, c.value)
         deps = list(a.value.limbs) + list(c.value.limbs)
         na = a.value.num_limbs
@@ -186,6 +230,18 @@ class NonNativeOps:
 
     def reduce_biguint(self, big_val: BigUintTarget) -> NonNativeTarget:
         """Arbitrary-width biguint -> canonical nonnative (nonnative.rs:105)."""
+        if self.lk:
+            assert big_val.num_limbs <= 16
+            limbs = list(big_val.limbs)
+            while len(limbs) < 16:
+                limbs.append(self.u32.zero_u32())
+            lo = NonNativeTarget(BigUintTarget(limbs[:8]), self.modulus)
+            hi = NonNativeTarget(BigUintTarget(limbs[8:]), self.modulus)
+            shift = self.constant_nonnative((1 << 256) % self.modulus)
+            # lo may be >= modulus (any 256-bit value): canonicalize by a
+            # mul-by-1 (FFMul only requires inputs < 2^256, output < m)
+            lo_c = self.mul_nonnative(lo, self.constant_nonnative(1))
+            return self.add_nonnative(self.mul_nonnative(hi, shift), lo_c)
         deps = list(big_val.limbs)
         q_limbs = max(1, big_val.num_limbs - self.num_limbs + 1)
 

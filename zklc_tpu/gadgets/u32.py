@@ -20,6 +20,7 @@ class U32Ops:
 
     def __init__(self, b: CircuitBuilder):
         self.b = b
+        self._lk_range_gate = None
 
     # -- basics -----------------------------------------------------------
     def add_virtual_u32(self) -> int:
@@ -72,7 +73,18 @@ class U32Ops:
 
     def range_check_u32(self, targets: list[int]):
         """crypto/plonky2_u32/src/gadgets/range_check.rs:12 (chunked so each
-        gate row fits num_wires: 17 wires per checked limb)."""
+        gate row fits num_wires: 17 wires per checked limb).  In lookup mode
+        each check costs two 16-bit lanes via LookupU32RangeGate slots."""
+        if self.b.config.lookup is not None:
+            from ..plonk import gates_lookup as GL
+            if self._lk_range_gate is None:
+                self._lk_range_gate = GL.LookupU32RangeGate(
+                    GL.LookupU32RangeGate.max_ops(self.b.config),
+                    self.b.config)
+            for t in targets:
+                row, i, g = self.b.find_slot(self._lk_range_gate)
+                self.b.connect(t, self.b.wire_t(row, g.w_input(i)))
+            return
         per_gate = max(1, self.b.config.num_wires // 17)
         for start in range(0, len(targets), per_gate):
             chunk = targets[start: start + per_gate]

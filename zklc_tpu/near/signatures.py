@@ -91,7 +91,7 @@ def get_ed25519_circuit(msg_len: int):
     from ..plonk.builder import CircuitBuilder
     from ..plonk.config import CircuitConfig
     from ..gadgets.eddsa import EddsaOps
-    b = CircuitBuilder(CircuitConfig.wide_ecc_config())
+    b = CircuitBuilder(CircuitConfig.wide_lookup_config())
     ops = EddsaOps(b)
     tg = ops.ed25519_circuit(msg_len)
     data = b.build()

@@ -62,9 +62,10 @@ class CommonData:
     selector_groups: list       # list of (start, end) over gate-type indices
     quotient_degree_factor: int
     num_gate_constraints: int
-    num_constants: int          # selectors + gate constants columns
+    num_constants: int          # selectors + gate constants (+ s/table) cols
     num_public_inputs: int
     k_is: np.ndarray            # (num_routed_wires,) uint64
+    lookup: object = None       # lookup.LookupInfo | None
 
     @property
     def degree_bits(self):
@@ -83,6 +84,22 @@ class CommonData:
         routed = self.config.num_routed_wires
         q = self.quotient_degree_factor
         return (routed + q - 1) // q - 1
+
+    @property
+    def num_wire_polys(self):
+        """Wire oracle width: circuit wires + lookup multiplicity columns."""
+        extra = self.lookup.num_tables if self.lookup is not None else 0
+        return self.config.num_wires + extra
+
+    @property
+    def lookup_block(self):
+        """Per-challenge-round lookup rows in the zs_pp oracle."""
+        return self.lookup.block_len if self.lookup is not None else 0
+
+    @property
+    def num_zspp_polys(self):
+        nc = self.config.num_challenges
+        return nc * (1 + self.num_partial_products) + nc * self.lookup_block
 
 
 @dataclass
@@ -118,6 +135,7 @@ class CircuitBuilder:
         self._free_slots: dict[str, tuple] = {}   # gate id -> (row, next_op)
         self._touched_wires: set[int] = set()
         self.generators: list[G.Generator] = []
+        self._lookup_rows: list[int] = []
         self._built = False
 
     # -- targets ----------------------------------------------------------
@@ -152,6 +170,10 @@ class CircuitBuilder:
             f"{gate.id()} needs {gate.num_wires()} wires > {self.config.num_wires}"
         row = len(self.gate_instances)
         self.gate_instances.append(GateInstance(gate, constants))
+        if gate.uses_lookup():
+            assert self.config.lookup is not None, \
+                f"{gate.id()} needs lookup lanes but config.lookup is None"
+            self._lookup_rows.append(row)
         self.generators.extend(gate.generators(self, row, constants))
         return row
 
@@ -371,9 +393,12 @@ class CircuitBuilder:
 
         self._built = True
 
-        # 2. pad with noops to a power of two
+        # 2. pad with noops to a power of two (lookup tables need at least
+        #    2^max_table_bits rows to embed the table column)
         n_gates = len(self.gate_instances)
         degree_bits = max(2, (n_gates - 1).bit_length())
+        if cfg.lookup is not None:
+            degree_bits = max(degree_bits, max(cfg.lookup.tables))
         n = 1 << degree_bits
         noop = G.NoopGate()
         while len(self.gate_instances) < n:
@@ -405,10 +430,23 @@ class CircuitBuilder:
                 selector_of_type[gi] = si
         num_selectors = len(groups)
 
-        # 4. constants table: [selector cols | gate-constant cols]
+        # 4. constants table: [selector cols | gate-constant cols | lookup
+        #    activity col | lookup table cols]
         max_gate_consts = max((inst.gate.num_constants()
                                for inst in self.gate_instances), default=0)
-        num_consts_total = num_selectors + max(cfg.num_constants, max_gate_consts)
+        num_gate_const_cols = max(cfg.num_constants, max_gate_consts)
+        lookup_info = None
+        num_lk_cols = 0
+        if cfg.lookup is not None:
+            from . import lookup as lk_mod
+            lookup_info = lk_mod.make_info(cfg.lookup, cfg.num_wires,
+                                           num_selectors, num_gate_const_cols)
+            for bits in cfg.lookup.tables:
+                assert bits <= degree_bits, (
+                    f"lookup table 2^{bits} exceeds circuit size "
+                    f"2^{degree_bits}")
+            num_lk_cols = 1 + lookup_info.num_tables
+        num_consts_total = num_selectors + num_gate_const_cols + num_lk_cols
         constants_rows = np.zeros((n, num_consts_total), dtype=np.uint64)
         constants_rows[:, :num_selectors] = G.UNUSED_SELECTOR
         for row, inst in enumerate(self.gate_instances):
@@ -417,6 +455,11 @@ class CircuitBuilder:
             constants_rows[row, si] = gi
             for k, c in enumerate(inst.constants):
                 constants_rows[row, num_selectors + k] = int(c) % gl64.P
+        if lookup_info is not None:
+            from . import lookup as lk_mod
+            constants_rows[self._lookup_rows, lookup_info.s_col] = 1
+            constants_rows[:, list(lookup_info.table_cols)] = \
+                lk_mod.table_constant_columns(lookup_info, n)
 
         # 5. sigmas: cycles over routed wire positions per copy class
         routed = cfg.num_routed_wires
@@ -432,15 +475,19 @@ class CircuitBuilder:
         sigmas_rows = np.empty((n, routed), dtype=np.uint64)
         # default: identity permutation
         sigmas_rows[:] = gl64.mul(k_is[None, :], g_pow[:, None])
+        cur_list, nxt_list = [], []
         for members in classes.values():
             if len(members) < 2:
                 continue
             members.sort()
-            for i, t in enumerate(members):
-                nxt = members[(i + 1) % len(members)]
-                r, c = t // WIRE_STRIDE, t % WIRE_STRIDE
-                nr, nc = nxt // WIRE_STRIDE, nxt % WIRE_STRIDE
-                sigmas_rows[r, c] = gl64.mul(k_is[nc], g_pow[nr])
+            m = np.asarray(members, dtype=np.int64)
+            cur_list.append(m)
+            nxt_list.append(np.roll(m, -1))
+        if cur_list:
+            cur = np.concatenate(cur_list)
+            nxt = np.concatenate(nxt_list)
+            sigmas_rows[cur // WIRE_STRIDE, cur % WIRE_STRIDE] = \
+                gl64.mul(k_is[nxt % WIRE_STRIDE], g_pow[nxt // WIRE_STRIDE])
 
         # 6. wire -> representative map (for witness matrix fill)
         wire_to_rep = {}
@@ -460,6 +507,7 @@ class CircuitBuilder:
             num_constants=num_consts_total,
             num_public_inputs=len(self.public_inputs),
             k_is=k_is,
+            lookup=lookup_info,
         )
         return ProverData(
             common=common,

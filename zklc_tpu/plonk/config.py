@@ -63,6 +63,7 @@ class CircuitConfig:
     zero_knowledge: bool = False
     max_quotient_degree_factor: int = 8
     fri_config: FriConfig = field(default_factory=FriConfig)
+    lookup: object = None        # plonk.lookup.LookupConfig | None
 
     @staticmethod
     def standard_recursion_config() -> "CircuitConfig":
@@ -75,6 +76,27 @@ class CircuitConfig:
     @staticmethod
     def wide_ecc_config() -> "CircuitConfig":
         return CircuitConfig(num_wires=234)
+
+    @staticmethod
+    def wide_lookup_config() -> "CircuitConfig":
+        """Wide config with LogUp lanes sized for the one-row foreign-field
+        mul gate (the TPU-native replacement of the reference's u32-limb
+        nonnative stack): 110 16-bit lanes + 30 6-bit carry-high lanes at
+        the top of the 234-wire space."""
+        from .lookup import LookupConfig
+        return CircuitConfig(
+            num_wires=234,
+            lookup=LookupConfig(tables=(16, 6), lanes=(110, 30)))
+
+    @staticmethod
+    def standard_lookup_config() -> "CircuitConfig":
+        """Standard-width config with a 16-bit lookup table and 24 lanes —
+        for u32-heavy hash circuits (SHA-256/512) once their gates use
+        lookup lanes for range pieces."""
+        from .lookup import LookupConfig
+        return CircuitConfig(
+            num_wires=135,
+            lookup=LookupConfig(tables=(16,), lanes=(24,)))
 
     def fri_params(self, degree_bits: int) -> FriParams:
         return FriParams(

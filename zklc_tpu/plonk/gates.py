@@ -76,6 +76,12 @@ class Gate:
     def generators(self, builder, row: int, constants) -> list:
         return []
 
+    def uses_lookup(self) -> bool:
+        """True if this gate places values in the circuit's lookup lanes
+        (its rows get s=1 in the activity constant column; EVERY lane on
+        such rows must then hold a table member — unused lanes default 0)."""
+        return False
+
     # sort key used for selector grouping (deterministic)
     def sort_key(self):
         return (self.degree(), self.id())

@@ -149,8 +149,12 @@ def make_vanishing_fn(common):
     ngc = common.num_gate_constraints
     nconst = common.num_constants
 
+    lk = common.lookup
+    n_perm = nc * (1 + npp)
+    num_wire_polys = common.num_wire_polys
+
     def fn(wires, cs, zspp, zspp_next, pi_hash_d, betas_d, gammas_d,
-           alphas_d, x, zh_inv, l0):
+           alphas_d, deltas_d, x, zh_inv, l0):
         from ..field import gl2x32 as gl
         alg = DeviceBase()
 
@@ -159,7 +163,7 @@ def make_vanishing_fn(common):
 
         constants = [row(cs, i) for i in range(nconst)]
         sigmas = [row(cs, nconst + i) for i in range(routed)]
-        wires_rows = [row(wires, i) for i in range(cfg.num_wires)]
+        wires_rows = [row(wires, i) for i in range(num_wire_polys)]
         zs = [row(zspp, i) for i in range(nc)]
         pps = [row(zspp, nc + i) for i in range(nc * npp)]
         zs_next = [row(zspp_next, i) for i in range(nc)]
@@ -216,7 +220,23 @@ def make_vanishing_fn(common):
                     pp_terms.append(alg.sub(alg.mul(accs[m], nume),
                                             alg.mul(accs[m + 1], deno)))
 
-            all_terms = z1_terms + pp_terms + terms
+            lookup_terms = []
+            if lk is not None:
+                from . import lookup as lk_mod
+                block = lk.block_len
+                s_val = constants[lk.s_col]
+                table_vals = [constants[c] for c in lk.table_cols]
+                m_vals = [wires_rows[cfg.num_wires + ti]
+                          for ti in range(lk.num_tables)]
+                for ci in range(nc):
+                    blk = [row(zspp, n_perm + ci * block + j)
+                           for j in range(block)]
+                    z_next = row(zspp_next, n_perm + ci * block)
+                    lookup_terms.extend(lk_mod.lookup_terms_one_round(
+                        alg, lk, wires_rows, s_val, table_vals, m_vals,
+                        blk, z_next, row(deltas_d, ci), l0))
+
+            all_terms = z1_terms + pp_terms + lookup_terms + terms
             outs_hi, outs_lo = [], []
             for ci in range(nc):
                 alpha = row(alphas_d, ci)
@@ -234,7 +254,7 @@ def make_vanishing_fn(common):
 
 def eval_vanishing_on_coset_device(data: ProverData, wires_comm,
                                    cs_comm, zs_pp_comm, pi_hash,
-                                   betas, gammas, alphas):
+                                   betas, gammas, alphas, deltas=()):
     """Device (jit) vanishing-poly evaluation over the whole LDE coset.
     Compiled once per circuit shape; challenges are traced arguments so
     reproving never recompiles.  Returns device (hi, lo) of shape
@@ -250,11 +270,11 @@ def eval_vanishing_on_coset_device(data: ProverData, wires_comm,
         base_fn = make_vanishing_fn(common)
 
         def full(wires, cs, zspp, pi_hash_d, betas_d, gammas_d, alphas_d,
-                 x, zh_inv, l0):
+                 deltas_d, x, zh_inv, l0):
             zspp_next = (jnp.roll(zspp[0], -rate, -1),
                          jnp.roll(zspp[1], -rate, -1))
             return base_fn(wires, cs, zspp, zspp_next, pi_hash_d, betas_d,
-                           gammas_d, alphas_d, x, zh_inv, l0)
+                           gammas_d, alphas_d, deltas_d, x, zh_inv, l0)
 
         _vanishing_device_cache[key] = jax.jit(full)
     fn = _vanishing_device_cache[key]
@@ -266,13 +286,16 @@ def eval_vanishing_on_coset_device(data: ProverData, wires_comm,
     betas_d = to_dev(np.asarray(betas, dtype=np.uint64))
     gammas_d = to_dev(np.asarray(gammas, dtype=np.uint64))
     alphas_d = to_dev(np.asarray(alphas, dtype=np.uint64))
+    deltas_d = to_dev(np.asarray(list(deltas) or [0], dtype=np.uint64))
     return fn(wires_comm.lde_natural, cs_comm.lde_natural,
               zs_pp_comm.lde_natural, pi_hash_d, betas_d, gammas_d,
-              alphas_d, to_dev(x_np), to_dev(zh_inv_np), to_dev(l0_np))
+              alphas_d, deltas_d, to_dev(x_np), to_dev(zh_inv_np),
+              to_dev(l0_np))
 
 
 def eval_vanishing_on_coset(data: ProverData, wires_lde, constants_sigmas_lde,
-                            zs_pp_lde, pi_hash, betas, gammas, alphas):
+                            zs_pp_lde, pi_hash, betas, gammas, alphas,
+                            deltas=()):
     """Host-numpy vanishing-poly evaluation (fallback / cross-check path).
 
     Returns (num_challenges, lde) uint64 quotient NUMERATOR values.
@@ -290,8 +313,9 @@ def eval_vanishing_on_coset(data: ProverData, wires_lde, constants_sigmas_lde,
     sigmas_lde = constants_sigmas_lde[common.num_constants:]
     nc = cfg.num_challenges
     npp = common.num_partial_products
+    n_perm = nc * (1 + npp)
     zs_lde = zs_pp_lde[:nc]
-    pps_lde = zs_pp_lde[nc:]
+    pps_lde = zs_pp_lde[nc:n_perm]
     rate = 1 << rate_bits
     zs_next_lde = np.roll(zs_lde, -rate, axis=1)
 
@@ -346,9 +370,29 @@ def eval_vanishing_on_coset(data: ProverData, wires_lde, constants_sigmas_lde,
             pp_terms.append(gl64.sub(gl64.mul(accs[m], nume),
                                      gl64.mul(accs[m + 1], deno)))
 
-    # ordering: [z1 (per challenge)] + [pp checks (challenge-major)] + gates
-    all_terms = z1_terms + pp_terms + [constraint_terms[i]
-                                       for i in range(common.num_gate_constraints)]
+    # --- lookup (LogUp) terms ---------------------------------------------
+    lookup_terms = []
+    if common.lookup is not None:
+        from . import lookup as lk_mod
+        lk = common.lookup
+        block = lk.block_len
+        lk_lde = zs_pp_lde[n_perm:]
+        lk_next = np.roll(lk_lde, -rate, axis=1)
+        s_val = constants_lde[lk.s_col]
+        table_vals = [constants_lde[c] for c in lk.table_cols]
+        m_vals = [wires_lde[cfg.num_wires + ti]
+                  for ti in range(lk.num_tables)]
+        for ci in range(nc):
+            blk = [lk_lde[ci * block + j] for j in range(block)]
+            z_next = lk_next[ci * block]
+            lookup_terms.extend(lk_mod.lookup_terms_one_round(
+                alg, lk, wires_lde, s_val, table_vals, m_vals, blk,
+                z_next, np.uint64(deltas[ci]), l0))
+
+    # ordering: [z1 (per challenge)] + [pp checks (challenge-major)] +
+    #           [lookup terms (challenge-major)] + gates
+    all_terms = z1_terms + pp_terms + lookup_terms + \
+        [constraint_terms[i] for i in range(common.num_gate_constraints)]
 
     out = np.zeros((nc, lde), dtype=np.uint64)
     for ci in range(nc):
@@ -366,7 +410,8 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     if (_jax.default_backend() == "tpu"
             and _os.environ.get("ZKLC_TPU_PROVER", "1") != "0"):
         from . import prover_tpu
-        return prover_tpu.prove(data, inputs)
+        if data.common.lookup is None or prover_tpu.LOOKUP_READY:
+            return prover_tpu.prove(data, inputs)
     common = data.common
     cfg = common.config
     fp: FriParams = common.fri_params
@@ -383,20 +428,32 @@ def prove(data: ProverData, inputs: dict) -> Proof:
                              dtype=np.uint64)
     pi_hash = pos.hash_no_pad(public_inputs) if len(public_inputs) else \
         np.zeros(4, dtype=np.uint64)
+    if common.lookup is not None:
+        from . import lookup as lk_mod
+        m_cols = lk_mod.compute_multiplicities(common.lookup, wires,
+                                               data.constants_rows)
+        wires = np.concatenate([wires, m_cols], axis=1)
     wires_comm = PolynomialBatch(np.ascontiguousarray(wires.T),
                                  fc.rate_bits, fc.cap_height)
 
-    # 2. transcript: betas/gammas
+    # 2. transcript: betas/gammas (+ lookup deltas)
     ch = pos.Challenger()
     ch.observe_hash(data.circuit_digest)
     ch.observe_hash(pi_hash)
     ch.observe_cap(wires_comm.cap_u64)
     betas = ch.get_n_challenges(cfg.num_challenges)
     gammas = ch.get_n_challenges(cfg.num_challenges)
+    deltas = ch.get_n_challenges(cfg.num_challenges) \
+        if common.lookup is not None else []
 
-    # 3. Z + partial products commitment
+    # 3. Z + partial products (+ lookup helper/Z columns) commitment
     zs_pp = compute_zs_partial_products(common, wires, data.sigmas_rows,
                                         betas, gammas)
+    if common.lookup is not None:
+        lk_cols = lk_mod.compute_lookup_columns(
+            common.lookup, wires, data.constants_rows, deltas,
+            cfg.num_wires)
+        zs_pp = np.concatenate([zs_pp, lk_cols], axis=0)
     zs_pp_comm = PolynomialBatch(zs_pp, fc.rate_bits, fc.cap_height)
     ch.observe_cap(zs_pp_comm.cap_u64)
     alphas = ch.get_n_challenges(cfg.num_challenges)
@@ -413,12 +470,13 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     if _q == "1" or (_q == "auto" and _jax.default_backend() == "tpu"):
         qdev = eval_vanishing_on_coset_device(
             data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
-            betas, gammas, alphas)
+            betas, gammas, alphas, deltas)
         quotient_values = None
     else:
         quotient_values = eval_vanishing_on_coset(
             data, wires_comm.lde_values_u64, cs_comm.lde_values_u64,
-            zs_pp_comm.lde_values_u64, pi_hash, betas, gammas, alphas)
+            zs_pp_comm.lde_values_u64, pi_hash, betas, gammas, alphas,
+            deltas)
         qdev = None
     lde_log = common.degree_bits + fc.rate_bits
     if quotient_values is not None and _cm._use_host_path():
@@ -449,18 +507,25 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     cs_at_zeta = ph.eval_poly_ext(cs_comm.coeffs, zeta_pows)
     wires_at_zeta = ph.eval_poly_ext(wires_comm.coeffs, zeta_pows)
     zspp_at_zeta = ph.eval_poly_ext(zs_pp_comm.coeffs, zeta_pows)
-    zs_at_next = ph.eval_poly_ext(zs_pp_comm.coeffs[:cfg.num_challenges],
-                                  zeta_next_pows)
+    nc = cfg.num_challenges
+    n_perm = nc * (1 + common.num_partial_products)
+    block = common.lookup_block
+    next_rows = list(range(nc))
+    if block:
+        next_rows += [n_perm + ci * block for ci in range(nc)]
+    at_next = ph.eval_poly_ext(zs_pp_comm.coeffs[next_rows], zeta_next_pows)
     quot_at_zeta = ph.eval_poly_ext(quotient_comm.coeffs, zeta_pows)
 
     openings = OpeningSet(
         constants=cs_at_zeta[:common.num_constants],
         plonk_sigmas=cs_at_zeta[common.num_constants:],
         wires=wires_at_zeta,
-        plonk_zs=zspp_at_zeta[:cfg.num_challenges],
-        plonk_zs_next=zs_at_next,
-        partial_products=zspp_at_zeta[cfg.num_challenges:],
+        plonk_zs=zspp_at_zeta[:nc],
+        plonk_zs_next=at_next[:nc],
+        partial_products=zspp_at_zeta[nc:n_perm],
         quotient_polys=quot_at_zeta,
+        lookups=zspp_at_zeta[n_perm:] if block else None,
+        lookup_zs_next=at_next[nc:] if block else None,
     )
 
     # observe openings (zeta batch then zeta_next batch)
@@ -473,7 +538,7 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     batch0_coeffs = np.concatenate(
         [cs_comm.coeffs, wires_comm.coeffs, zs_pp_comm.coeffs,
          quotient_comm.coeffs], axis=0)
-    batch1_coeffs = zs_pp_comm.coeffs[:cfg.num_challenges]
+    batch1_coeffs = zs_pp_comm.coeffs[next_rows]
     fri_proof = fri_mod.prove_fri(
         oracles=[cs_comm, wires_comm, zs_pp_comm, quotient_comm],
         poly_coeff_batches=[batch0_coeffs, batch1_coeffs],

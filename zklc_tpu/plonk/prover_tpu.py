@@ -51,6 +51,7 @@ from . import fri as fri_host
 
 CHUNK_POLYS = 32         # NTT poly-batch chunk (bounds peak HBM)
 QUOTIENT_CHUNKS = 8      # coset split for the vanishing evaluation
+LOOKUP_READY = False     # flips True once this prover handles LogUp blocks
 
 
 # ---------------------------------------------------------------------------
@@ -400,7 +401,7 @@ _quotient_fn_cache: dict = {}
 
 
 def _quotient_chunked(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
-                      betas, gammas, alphas):
+                      betas, gammas, alphas, deltas=()):
     """Vanishing evaluation over the coset in QUOTIENT_CHUNKS slices via
     lax.map — one dispatch, bounded temporaries."""
     common = data.common
@@ -414,7 +415,7 @@ def _quotient_chunked(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
         nc = common.config.num_challenges
 
         def full(wires, cs, zspp, pihash, betas_d, gammas_d, alphas_d,
-                 x, zh_inv, l0):
+                 deltas_d, x, zh_inv, l0):
             zspp_next = (jnp.roll(zspp[0], -rate, -1),
                          jnp.roll(zspp[1], -rate, -1))
 
@@ -425,7 +426,7 @@ def _quotient_chunked(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
                             jax.lax.dynamic_slice_in_dim(
                                 pair[1], ci * csz, csz, axis=-1))
                 return base_fn(sl(wires), sl(cs), sl(zspp), sl(zspp_next),
-                               pihash, betas_d, gammas_d, alphas_d,
+                               pihash, betas_d, gammas_d, alphas_d, deltas_d,
                                sl(x), sl(zh_inv), sl(l0))
 
             hi, lo = jax.lax.map(body, jnp.arange(QUOTIENT_CHUNKS))
@@ -444,6 +445,7 @@ def _quotient_chunked(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
               to_dev(np.asarray(betas, dtype=np.uint64)),
               to_dev(np.asarray(gammas, dtype=np.uint64)),
               to_dev(np.asarray(alphas, dtype=np.uint64)),
+              to_dev(np.asarray(list(deltas) or [0], dtype=np.uint64)),
               to_dev(x_np), to_dev(zh_inv_np), to_dev(l0_np))
 
 

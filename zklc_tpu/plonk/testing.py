@@ -52,9 +52,38 @@ def check_constraints(data, wr) -> None:
                 f"{gate.id()} constraint {ci} nonzero at rows {bad[:5]}")
 
 
+def check_lookup(data, wr, delta: int = 0x1234567890ABCDEF) -> None:
+    """Verify the LogUp grand-sum identity on the generated witness with a
+    fixed test challenge: every active lane value must be in its table and
+    sum_{lanes} 1/(d+f) == sum m/(d+t)."""
+    common = data.common
+    lk = common.lookup
+    if lk is None:
+        return
+    from . import lookup as lk_mod
+    wires = wr.wires
+    m_cols = lk_mod.compute_multiplicities(lk, wires, data.constants_rows)
+    active = data.constants_rows[:, lk.s_col].astype(bool)
+    tables = lk_mod.table_constant_columns(lk, common.degree)
+    p = gl64.P
+    for ti, bits in enumerate(lk.cfg.tables):
+        lhs = 0
+        for c in lk.lane_cols[ti]:
+            for v in wires[active, c]:
+                lhs = (lhs + pow((delta + int(v)) % p, p - 2, p)) % p
+        rhs = 0
+        for row in range(1 << bits):
+            m = int(m_cols[row, ti])
+            if m:
+                rhs = (rhs + m * pow((delta + int(tables[row, ti])) % p,
+                                     p - 2, p)) % p
+        assert lhs == rhs, f"LogUp sum mismatch for table {ti}"
+
+
 def prove_check(builder, inputs: dict):
     """generate witness + constraint check; returns the WitnessResult."""
     data = builder.build()
     wr = generate_witness(data, inputs)
     check_constraints(data, wr)
+    check_lookup(data, wr)
     return data, wr

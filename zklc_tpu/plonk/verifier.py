@@ -42,6 +42,8 @@ def get_challenges(common: CommonData, verifier_data: VerifierOnlyData,
     ch.observe_cap(proof.wires_cap)
     betas = ch.get_n_challenges(cfg.num_challenges)
     gammas = ch.get_n_challenges(cfg.num_challenges)
+    deltas = ch.get_n_challenges(cfg.num_challenges) \
+        if common.lookup is not None else []
     ch.observe_cap(proof.plonk_zs_partial_products_cap)
     alphas = ch.get_n_challenges(cfg.num_challenges)
     ch.observe_cap(proof.quotient_polys_cap)
@@ -64,7 +66,8 @@ def get_challenges(common: CommonData, verifier_data: VerifierOnlyData,
     return ProofChallenges(
         plonk_betas=betas, plonk_gammas=gammas, plonk_alphas=alphas,
         plonk_zeta=zeta, fri_alpha=fri_alpha, fri_betas=fri_betas,
-        fri_pow_response=pow_response, fri_query_indices=indices), pi_hash
+        fri_pow_response=pow_response, fri_query_indices=indices,
+        plonk_deltas=deltas), pi_hash
 
 
 def eval_vanishing_at_zeta(common: CommonData, challenges, openings, pi_hash):
@@ -137,7 +140,23 @@ def eval_vanishing_at_zeta(common: CommonData, challenges, openings, pi_hash):
             pp_terms.append(alg.sub(alg.mul(accs[m], nume),
                                     alg.mul(accs[m + 1], deno)))
 
-    all_terms = z1_terms + pp_terms + constraint_terms
+    lookup_terms = []
+    if common.lookup is not None:
+        from . import lookup as lk_mod
+        lk = common.lookup
+        block = lk.block_len
+        s_val = o.constants[lk.s_col]
+        table_vals = [o.constants[c] for c in lk.table_cols]
+        m_vals = [o.wires[cfg.num_wires + ti] for ti in range(lk.num_tables)]
+        for ci in range(nc):
+            blk = [o.lookups[ci * block + j] for j in range(block)]
+            z_next = o.lookup_zs_next[ci]
+            delta = alg.from_base(np.uint64(challenges.plonk_deltas[ci]))
+            lookup_terms.extend(lk_mod.lookup_terms_one_round(
+                alg, lk, o.wires, s_val, table_vals, m_vals, blk,
+                z_next, delta, l0_zeta))
+
+    all_terms = z1_terms + pp_terms + lookup_terms + constraint_terms
     reduced = []
     for ci in range(nc):
         alpha = alg.from_base(np.uint64(challenges.plonk_alphas[ci]))
@@ -177,14 +196,18 @@ def verify_fri(common: CommonData, proof: Proof, challenges: ProofChallenges,
     # per-batch polynomial lists: (oracle_index, poly_index)
     nc = common.config.num_challenges
     n_cs = common.num_constants + common.config.num_routed_wires
-    n_wires = common.config.num_wires
-    n_zspp = nc * (1 + common.num_partial_products)
+    n_wires = common.num_wire_polys
+    n_zspp = common.num_zspp_polys
+    n_perm = nc * (1 + common.num_partial_products)
     n_quot = nc * common.quotient_degree_factor
     batch0_polys = [(0, i) for i in range(n_cs)] + \
         [(1, i) for i in range(n_wires)] + \
         [(2, i) for i in range(n_zspp)] + \
         [(3, i) for i in range(n_quot)]
     batch1_polys = [(2, i) for i in range(nc)]
+    if common.lookup_block:
+        batch1_polys += [(2, n_perm + ci * common.lookup_block)
+                         for ci in range(nc)]
     batches = [(batch0_polys, batch_points[0], reduced_openings[0]),
                (batch1_polys, batch_points[1], reduced_openings[1])]
 
