@@ -195,3 +195,55 @@ def test_ffmul_scalar_field_reduce512(ff_small_config):
     rv = sum(int(wr.get(t)) << (32 * i)
              for i, t in enumerate(red.value.limbs))
     assert rv == v % ED25519_SCALAR_L
+
+
+def test_device_prover_matches_host_on_lookup_circuit():
+    """prover_tpu must produce byte-identical lookup proofs (CPU backend)."""
+    from zklc_tpu.plonk import prover_tpu
+    data, inputs = _toy_circuit([3, 250, 65535, 511])
+    p_host = prover.prove(data, dict(inputs))
+    p_dev = prover_tpu.prove(data, dict(inputs))
+    assert np.array_equal(p_host.wires_cap, p_dev.wires_cap)
+    assert np.array_equal(p_host.plonk_zs_partial_products_cap,
+                          p_dev.plonk_zs_partial_products_cap)
+    assert np.array_equal(p_host.quotient_polys_cap, p_dev.quotient_polys_cap)
+    assert np.array_equal(np.asarray(p_host.openings.lookups),
+                          np.asarray(p_dev.openings.lookups))
+    assert np.array_equal(np.asarray(p_host.openings.lookup_zs_next),
+                          np.asarray(p_dev.openings.lookup_zs_next))
+    assert np.array_equal(p_host.opening_proof.final_poly,
+                          p_dev.opening_proof.final_poly)
+    assert verifier.verify(p_dev, data.verifier_only, data.common)
+
+
+def test_recursive_verifier_accepts_lookup_proof():
+    """The in-circuit verifier must handle LogUp proofs: deltas in the
+    transcript, lookup vanishing terms, extended FRI batches."""
+    from zklc_tpu.plonk.recursion import (RecursiveVerifier,
+                                          recursive_proof_circuit)
+    from zklc_tpu.plonk.witness import generate_witness
+    data, inputs = _toy_circuit([9, 77, 4096])
+    proof = prover.prove(data, dict(inputs))
+    prover.ensure_constants_sigmas_commitment(data)
+    rb, pt = recursive_proof_circuit(data.common, data.verifier_only)
+    rdata = rb.build()
+    rinputs = {}
+    RecursiveVerifier.set_proof_targets(pt, proof, rinputs)
+    wr = generate_witness(rdata, rinputs)
+    testing.check_constraints(rdata, wr)
+    assert [int(wr.get(t)) for t in rdata.public_input_targets] == \
+        [int(v) for v in proof.public_inputs]
+
+    # tampered lookup opening must violate the recursion constraints
+    import copy
+    bad = copy.copy(proof)
+    bad.openings = copy.copy(proof.openings)
+    bad.openings.lookups = proof.openings.lookups.copy()
+    bad.openings.lookups[1] = (bad.openings.lookups[1] + 1) % \
+        (2**64 - 2**32 + 1)
+    rinputs = {}
+    RecursiveVerifier.set_proof_targets(pt, bad, rinputs)
+    from zklc_tpu.plonk.witness import WitnessConflict
+    with pytest.raises((WitnessConflict, AssertionError)):
+        wr = generate_witness(rdata, rinputs)
+        testing.check_constraints(rdata, wr)

@@ -51,7 +51,7 @@ from . import fri as fri_host
 
 CHUNK_POLYS = 32         # NTT poly-batch chunk (bounds peak HBM)
 QUOTIENT_CHUNKS = 8      # coset split for the vanishing evaluation
-LOOKUP_READY = False     # flips True once this prover handles LogUp blocks
+LOOKUP_READY = True      # this prover handles LogUp blocks end-to-end
 
 
 # ---------------------------------------------------------------------------
@@ -478,6 +478,11 @@ def prove(data: ProverData, inputs: dict) -> Proof:
                              dtype=np.uint64)
     pi_hash = pos.hash_no_pad(public_inputs) if len(public_inputs) else \
         np.zeros(4, dtype=np.uint64)
+    if common.lookup is not None:
+        from . import lookup as lk_mod
+        m_cols = lk_mod.compute_multiplicities(common.lookup, wires,
+                                               data.constants_rows)
+        wires = np.concatenate([wires, m_cols], axis=1)
     wires_comm = DeviceCommitment(np.ascontiguousarray(wires.T),
                                   fc.rate_bits, fc.cap_height)
 
@@ -488,10 +493,17 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     ch.observe_cap(wires_comm.cap_u64)
     betas = ch.get_n_challenges(cfg.num_challenges)
     gammas = ch.get_n_challenges(cfg.num_challenges)
+    deltas = ch.get_n_challenges(cfg.num_challenges) \
+        if common.lookup is not None else []
 
-    # 3. Z + partial products (host on the witness matrix)
+    # 3. Z + partial products (+ lookup columns) (host on the witness matrix)
     zs_pp = host_prover.compute_zs_partial_products(
         common, wires, data.sigmas_rows, betas, gammas)
+    if common.lookup is not None:
+        lk_cols = lk_mod.compute_lookup_columns(
+            common.lookup, wires, data.constants_rows, deltas,
+            cfg.num_wires)
+        zs_pp = np.concatenate([zs_pp, lk_cols], axis=0)
     zs_pp_comm = DeviceCommitment(zs_pp, fc.rate_bits, fc.cap_height)
     ch.observe_cap(zs_pp_comm.cap_u64)
     alphas = ch.get_n_challenges(cfg.num_challenges)
@@ -501,11 +513,12 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     # the identical values come from the host evaluator instead.
     if jax.default_backend() == "tpu":
         qvals = _quotient_chunked(data, wires_comm, cs_comm, zs_pp_comm,
-                                  pi_hash, betas, gammas, alphas)
+                                  pi_hash, betas, gammas, alphas, deltas)
     else:
         qhost = host_prover.eval_vanishing_on_coset(
             data, gl.to_u64_np(wires_comm.lde), gl.to_u64_np(cs_comm.lde),
-            gl.to_u64_np(zs_pp_comm.lde), pi_hash, betas, gammas, alphas)
+            gl.to_u64_np(zs_pp_comm.lde), pi_hash, betas, gammas, alphas,
+            deltas)
         qvals = gl.from_u64_np(qhost)
     chunks = _quotient_coeff_kernel(qvals, lde_bits, fc.rate_bits, n)
     quotient_comm = DeviceCommitment(None, fc.rate_bits, fc.cap_height,
@@ -539,18 +552,26 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     zspp_at = _ext_from_dev(_open_batch_kernel(zs_pp_comm.lde, xinv0, scale0))
     quot_at = _ext_from_dev(
         _open_batch_kernel(quotient_comm.lde, xinv0, scale0))
-    zs_lde = (zs_pp_comm.lde[0][:cfg.num_challenges],
-              zs_pp_comm.lde[1][:cfg.num_challenges])
-    zs_next_at = _ext_from_dev(_open_batch_kernel(zs_lde, xinv1, scale1))
+    nc = cfg.num_challenges
+    n_perm = nc * (1 + common.num_partial_products)
+    block = common.lookup_block
+    next_rows = list(range(nc))
+    if block:
+        next_rows += [n_perm + ci * block for ci in range(nc)]
+    sel = np.asarray(next_rows)
+    zs_lde = (zs_pp_comm.lde[0][sel], zs_pp_comm.lde[1][sel])
+    at_next = _ext_from_dev(_open_batch_kernel(zs_lde, xinv1, scale1))
 
     openings = OpeningSet(
         constants=cs_at[:common.num_constants],
         plonk_sigmas=cs_at[common.num_constants:],
         wires=wires_at,
-        plonk_zs=zspp_at[:cfg.num_challenges],
-        plonk_zs_next=zs_next_at,
-        partial_products=zspp_at[cfg.num_challenges:],
+        plonk_zs=zspp_at[:nc],
+        plonk_zs_next=at_next[:nc],
+        partial_products=zspp_at[nc:n_perm],
         quotient_polys=quot_at,
+        lookups=zspp_at[n_perm:] if block else None,
+        lookup_zs_next=at_next[nc:] if block else None,
     )
     for v in openings.fri_batch_zeta():
         ch.observe_extension(v)
@@ -587,15 +608,13 @@ def _prove_fri_device(common, fp, ch, oracles, openings, invden0, invden1,
     nc = common.config.num_challenges
     alpha = np.array(ch.get_extension_challenge(), dtype=np.uint64)
 
-    # reduced polynomial (value space)
-    f0 = np.concatenate(
-        [np.asarray(v, dtype=np.uint64).reshape(-1, 2)
-         for v in (openings.constants, openings.plonk_sigmas, openings.wires,
-                   openings.plonk_zs, openings.partial_products,
-                   openings.quotient_polys)], axis=0)
+    # reduced polynomial (value space) — batch order matches the oracle
+    # concat order (incl. the LogUp block inside zs_pp)
+    f0 = np.asarray(openings.fri_batch_zeta(), dtype=np.uint64).reshape(-1, 2)
     apows0 = ph.ext_powers(alpha, f0.shape[0])
     r0z = _reduce_ext(f0, apows0)
-    f1 = np.asarray(openings.plonk_zs_next, dtype=np.uint64).reshape(-1, 2)
+    f1 = np.asarray(openings.fri_batch_zeta_next(),
+                    dtype=np.uint64).reshape(-1, 2)
     apows1 = ph.ext_powers(alpha, f1.shape[0])
     r1z = _reduce_ext(f1, apows1)
 
@@ -613,7 +632,13 @@ def _prove_fri_device(common, fp, ch, oracles, openings, invden0, invden1,
             (gl.add(combined0[0], part[0]), gl.add(combined0[1], part[1]))
         offset += P
     assert offset == f0.shape[0]
-    zs_lde = (oracles[2].lde[0][:nc], oracles[2].lde[1][:nc])
+    n_perm = nc * (1 + common.num_partial_products)
+    block = common.lookup_block
+    next_rows = list(range(nc))
+    if block:
+        next_rows += [n_perm + ci * block for ci in range(nc)]
+    sel = np.asarray(next_rows)
+    zs_lde = (oracles[2].lde[0][sel], oracles[2].lde[1][sel])
     combined1 = _alpha_combine_kernel(zs_lde, apows_dev(apows1))
 
     q0 = _reduced_from_combined(combined0, _ext_to_dev(r0z), invden0)

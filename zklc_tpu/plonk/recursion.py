@@ -182,6 +182,8 @@ class ProofTargets:
     final_poly: list             # ext targets
     pow_witness: int
     public_inputs: list
+    lookups: list = None         # ext targets: LogUp block at zeta
+    lookup_zs_next: list = None  # ext targets: LogUp Zs at g*zeta
 
 
 class RecursiveVerifier:
@@ -215,9 +217,11 @@ class RecursiveVerifier:
         n_cs = common.num_constants
         routed = cfg.num_routed_wires
         npp = common.num_partial_products
+        block = common.lookup_block
 
-        oracle_widths = [n_cs + routed, cfg.num_wires,
-                         nc * (1 + npp), nc * common.quotient_degree_factor]
+        oracle_widths = [n_cs + routed, common.num_wire_polys,
+                         common.num_zspp_polys,
+                         nc * common.quotient_degree_factor]
         depth0 = fp.lde_bits - fc.cap_height
 
         query_initial = []
@@ -244,7 +248,7 @@ class RecursiveVerifier:
         return ProofTargets(
             wires_cap=cap(), zs_pp_cap=cap(), quotient_cap=cap(),
             constants=exts(n_cs), plonk_sigmas=exts(routed),
-            wires=exts(cfg.num_wires), plonk_zs=exts(nc),
+            wires=exts(common.num_wire_polys), plonk_zs=exts(nc),
             plonk_zs_next=exts(nc), partial_products=exts(nc * npp),
             quotient_polys=exts(nc * common.quotient_degree_factor),
             commit_phase_caps=[cap() for _ in fp.reduction_arity_bits],
@@ -253,6 +257,8 @@ class RecursiveVerifier:
             pow_witness=b.add_virtual_target(),
             public_inputs=[b.add_virtual_target()
                            for _ in range(common.num_public_inputs)],
+            lookups=exts(nc * block),
+            lookup_zs_next=exts(nc if block else 0),
         )
 
     # -- helpers -------------------------------------------------------------
@@ -261,8 +267,8 @@ class RecursiveVerifier:
 
     def _fri_batches(self, pt: ProofTargets):
         zeta_batch = (pt.constants + pt.plonk_sigmas + pt.wires + pt.plonk_zs
-                      + pt.partial_products + pt.quotient_polys)
-        next_batch = pt.plonk_zs_next
+                      + pt.partial_products + pt.lookups + pt.quotient_polys)
+        next_batch = pt.plonk_zs_next + pt.lookup_zs_next
         return zeta_batch, next_batch
 
     def _merkle_verify(self, leaf_targets, index_bits, sibs, cap_targets):
@@ -303,6 +309,7 @@ class RecursiveVerifier:
         ch.observe_cap(pt.wires_cap)
         betas = ch.get_n(nc)
         gammas = ch.get_n(nc)
+        deltas = ch.get_n(nc) if common.lookup is not None else []
         ch.observe_cap(pt.zs_pp_cap)
         alphas = ch.get_n(nc)
         ch.observe_cap(pt.quotient_cap)
@@ -330,12 +337,14 @@ class RecursiveVerifier:
             query_index_bits.append(bits[: fp.lde_bits])
 
         # ---- vanishing polynomial at zeta ----
-        self._check_vanishing(pt, pi_hash, betas, gammas, alphas, zeta)
+        self._check_vanishing(pt, pi_hash, betas, gammas, alphas, zeta,
+                              deltas)
 
         # ---- FRI ----
         self._verify_fri(pt, zeta, fri_alpha, fri_betas, query_index_bits)
 
-    def _check_vanishing(self, pt, pi_hash, betas, gammas, alphas, zeta):
+    def _check_vanishing(self, pt, pi_hash, betas, gammas, alphas, zeta,
+                         deltas=()):
         b = self.b
         ext = self.ext
         common = self.common
@@ -403,7 +412,23 @@ class RecursiveVerifier:
                 pp_terms.append(ext.sub(ext.mul(accs[m], nume),
                                         ext.mul(accs[m + 1], deno)))
 
-        all_terms = z1_terms + pp_terms + constraint_terms
+        lookup_terms = []
+        if common.lookup is not None:
+            from . import lookup as lk_mod
+            lk = common.lookup
+            block = lk.block_len
+            s_val = pt.constants[lk.s_col]
+            table_vals = [pt.constants[c] for c in lk.table_cols]
+            m_vals = [pt.wires[cfg.num_wires + ti]
+                      for ti in range(lk.num_tables)]
+            for ci in range(nc):
+                blk = [pt.lookups[ci * block + j] for j in range(block)]
+                z_next = pt.lookup_zs_next[ci]
+                lookup_terms.extend(lk_mod.lookup_terms_one_round(
+                    ext, lk, pt.wires, s_val, table_vals, m_vals, blk,
+                    z_next, ext.from_base(deltas[ci]), l0_zeta))
+
+        all_terms = z1_terms + pp_terms + lookup_terms + constraint_terms
         for ci in range(nc):
             alpha = ext.from_base(alphas[ci])
             acc = ext.zero()
@@ -471,8 +496,12 @@ class RecursiveVerifier:
             # order; batch1 = zs polys (oracle 2, first nc entries)
             nc = common.config.num_challenges
             batch0_vals = [ext.from_base(t) for t in flat]
-            batch1_vals = [ext.from_base(t)
-                           for t in leaves[2][:nc]]
+            next_rows = list(range(nc))
+            if common.lookup_block:
+                n_perm = nc * (1 + common.num_partial_products)
+                next_rows += [n_perm + ci * common.lookup_block
+                              for ci in range(nc)]
+            batch1_vals = [ext.from_base(leaves[2][r]) for r in next_rows]
             for vals, (_batch, point, red_open) in zip(
                     (batch0_vals, batch1_vals), batches):
                 acc = ext.zero()
@@ -589,6 +618,9 @@ class RecursiveVerifier:
         set_exts(pt.plonk_zs_next, o.plonk_zs_next)
         set_exts(pt.partial_products, o.partial_products)
         set_exts(pt.quotient_polys, o.quotient_polys)
+        if pt.lookups:
+            set_exts(pt.lookups, o.lookups)
+            set_exts(pt.lookup_zs_next, o.lookup_zs_next)
         op = proof.opening_proof
         for ct, cap in zip(pt.commit_phase_caps, op.commit_phase_merkle_caps):
             set_cap(ct, cap)
