@@ -23,3 +23,5 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+from . import runtime as _runtime  # noqa: F401  (persistent XLA cache)

@@ -400,6 +400,201 @@ def _bary_scale(z_ext: np.ndarray, lde_bits: int) -> np.ndarray:
 _quotient_fn_cache: dict = {}
 
 
+_quotient_parts_cache: dict = {}
+
+
+def _quotient_split(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
+                    betas, gammas, alphas, deltas=()):
+    """Vanishing evaluation as ONE SMALL JIT KERNEL PER GATE TYPE plus a
+    base kernel (permutation + lookup terms), alpha-weighted partial sums
+    added on device.
+
+    Rationale: the fused single-program evaluator (host_prover.
+    make_vanishing_fn) XLA-compiles the constraint polynomials of EVERY
+    gate type into one graph; for wide circuits with many gate types the
+    TPU compile time explodes (>30 min for the ed25519 circuit).  Since the
+    alpha-Horner combination is linear in the terms, each gate type's
+    filtered contribution sum_k alpha^(base+k) * filt * c_k can be computed
+    in its own (cacheable, fast-compiling) kernel and summed."""
+    import jax
+    import jax.numpy as jnp
+    from .algebra import DeviceBase, EvalVars
+    from ..field import gl2x32 as gl
+
+    common = data.common
+    cfg = common.config
+    rate_bits = cfg.fri_config.rate_bits
+    rate = 1 << rate_bits
+    nc = cfg.num_challenges
+    npp = common.num_partial_products
+    routed = cfg.num_routed_wires
+    q = common.quotient_degree_factor
+    num_chunks = (routed + q - 1) // q
+    num_sel = common.num_selectors
+    nconst = common.num_constants
+    lk = common.lookup
+    n_perm_terms = nc + nc * num_chunks
+    n_lookup_terms = lk.num_constraints(nc) if lk is not None else 0
+    gate_term_base = n_perm_terms + n_lookup_terms
+    n_perm_rows = nc * (1 + npp)
+
+    key = id(common)
+    if key not in _quotient_parts_cache:
+
+        def row(pair, i):
+            return (pair[0][i], pair[1][i])
+
+        def alpha_pow(alg, alpha, e):
+            acc = alg.one()
+            base = alpha
+            while e:
+                if e & 1:
+                    acc = alg.mul(acc, base)
+                e >>= 1
+                if e:
+                    base = alg.mul(base, base)
+            return acc
+
+        def filt_of(alg, constants, gi):
+            si = common.selector_indices[gi]
+            start, end = common.selector_groups[si]
+            s = constants[si]
+            filt = alg.one()
+            for k in range(start, end):
+                if k == gi:
+                    continue
+                filt = alg.mul(filt, alg.sub(alg.const(k), s))
+            if num_sel > 1:
+                from . import gates as G
+                filt = alg.mul(filt, alg.sub(alg.const(G.UNUSED_SELECTOR), s))
+            return filt
+
+        def make_gate_fn(gi, gate):
+            def fn(wires, cs, pi_hash_d, alphas_d):
+                alg = DeviceBase()
+                constants = [row(cs, i) for i in range(nconst)]
+                wires_rows = [row(wires, i)
+                              for i in range(common.num_wire_polys)]
+                vars_ = EvalVars(
+                    local_constants=constants[num_sel:],
+                    local_wires=wires_rows,
+                    public_inputs_hash=[row(pi_hash_d, i) for i in range(4)],
+                )
+                from . import gates as G
+                if isinstance(gate, G.PoseidonGate):
+                    from ..ops.poseidon_gate_device import \
+                        eval_poseidon_gate_device
+                    cp = eval_poseidon_gate_device(gate, wires)
+                    constraints = [(cp[0][i], cp[1][i])
+                                   for i in range(gate.num_constraints())]
+                else:
+                    constraints = gate.eval_unfiltered(alg, vars_)
+                filt = filt_of(alg, constants, gi)
+                outs_hi, outs_lo = [], []
+                for ci in range(nc):
+                    alpha = row(alphas_d, ci)
+                    acc = alg.zero()
+                    for c in reversed(constraints):
+                        acc = alg.add(alg.mul(acc, alpha), c)
+                    acc = alg.mul(acc, filt)
+                    acc = alg.mul(acc, alpha_pow(alg, alpha, gate_term_base))
+                    outs_hi.append(acc[0])
+                    outs_lo.append(acc[1])
+                return (jnp.stack(outs_hi), jnp.stack(outs_lo))
+            return jax.jit(fn)
+
+        def base_fn(wires, cs, zspp, betas_d, gammas_d, alphas_d, deltas_d,
+                    x, zh_inv, l0):
+            alg = DeviceBase()
+            zspp_next = (jnp.roll(zspp[0], -rate, -1),
+                         jnp.roll(zspp[1], -rate, -1))
+            constants = [row(cs, i) for i in range(nconst)]
+            sigmas = [row(cs, nconst + i) for i in range(routed)]
+            wires_rows = [row(wires, i) for i in range(common.num_wire_polys)]
+            zs = [row(zspp, i) for i in range(nc)]
+            pps = [row(zspp, nc + i) for i in range(nc * npp)]
+            zs_next = [row(zspp_next, i) for i in range(nc)]
+            terms = []
+            z1_terms, pp_terms = [], []
+            for ci in range(nc):
+                beta = row(betas_d, ci)
+                gamma = row(gammas_d, ci)
+                z1_terms.append(alg.mul(l0, alg.sub(zs[ci], alg.one())))
+                accs = [zs[ci]] + [pps[ci * npp + i] for i in range(npp)] \
+                    + [zs_next[ci]]
+                for m in range(num_chunks):
+                    nume = alg.one()
+                    deno = alg.one()
+                    for j in range(m * q, min((m + 1) * q, routed)):
+                        sid = alg.mul(alg.const(int(common.k_is[j])), x)
+                        wv_g = alg.add(wires_rows[j], gamma)
+                        nume = alg.mul(nume,
+                                       alg.add(alg.mul(beta, sid), wv_g))
+                        deno = alg.mul(deno, alg.add(
+                            alg.mul(beta, sigmas[j]), wv_g))
+                    pp_terms.append(alg.sub(alg.mul(accs[m], nume),
+                                            alg.mul(accs[m + 1], deno)))
+            lookup_terms = []
+            if lk is not None:
+                from . import lookup as lk_mod
+                block = lk.block_len
+                s_val = constants[lk.s_col]
+                table_vals = [constants[c] for c in lk.table_cols]
+                m_vals = [wires_rows[cfg.num_wires + ti]
+                          for ti in range(lk.num_tables)]
+                for ci in range(nc):
+                    blk = [row(zspp, n_perm_rows + ci * block + j)
+                           for j in range(block)]
+                    z_next = row(zspp_next, n_perm_rows + ci * block)
+                    lookup_terms.extend(lk_mod.lookup_terms_one_round(
+                        alg, lk, wires_rows, s_val, table_vals, m_vals,
+                        blk, z_next, row(deltas_d, ci), l0))
+            all_terms = z1_terms + pp_terms + lookup_terms
+            outs_hi, outs_lo = [], []
+            for ci in range(nc):
+                alpha = row(alphas_d, ci)
+                acc = alg.zero()
+                for t in reversed(all_terms):
+                    acc = alg.add(alg.mul(acc, alpha), t)
+                outs_hi.append(acc[0])
+                outs_lo.append(acc[1])
+            return (jnp.stack(outs_hi), jnp.stack(outs_lo))
+
+        def finish_fn(parts_hi, parts_lo, zh_inv):
+            alg = DeviceBase()
+            acc = (parts_hi[0], parts_lo[0])
+            for i in range(1, parts_hi.shape[0]):
+                acc = alg.add(acc, (parts_hi[i], parts_lo[i]))
+            acc = alg.mul(acc, zh_inv)
+            acc = gl.canonicalize(acc)
+            return acc
+
+        _quotient_parts_cache[key] = (
+            jax.jit(base_fn),
+            [make_gate_fn(gi, g) for gi, g in enumerate(common.gate_types)],
+            jax.jit(finish_fn),
+        )
+
+    base_jit, gate_jits, finish_jit = _quotient_parts_cache[key]
+    x_np, zh_inv_np, l0_np = host_prover._coset_domain(
+        common.degree_bits, rate_bits)
+    to_dev = gl.from_u64_np
+    pi_hash_d = to_dev(np.asarray(pi_hash, dtype=np.uint64))
+    betas_d = to_dev(np.asarray(betas, dtype=np.uint64))
+    gammas_d = to_dev(np.asarray(gammas, dtype=np.uint64))
+    alphas_d = to_dev(np.asarray(alphas, dtype=np.uint64))
+    deltas_d = to_dev(np.asarray(list(deltas) or [0], dtype=np.uint64))
+    x_d, zh_d, l0_d = to_dev(x_np), to_dev(zh_inv_np), to_dev(l0_np)
+    parts = [base_jit(wires_comm.lde, cs_comm.lde, zs_pp_comm.lde,
+                      betas_d, gammas_d, alphas_d, deltas_d,
+                      x_d, zh_d, l0_d)]
+    for gfn in gate_jits:
+        parts.append(gfn(wires_comm.lde, cs_comm.lde, pi_hash_d, alphas_d))
+    parts_hi = jnp.stack([p[0] for p in parts])
+    parts_lo = jnp.stack([p[1] for p in parts])
+    return finish_jit(parts_hi, parts_lo, zh_d)
+
+
 def _quotient_chunked(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
                       betas, gammas, alphas, deltas=()):
     """Vanishing evaluation over the coset in QUOTIENT_CHUNKS slices via
@@ -511,9 +706,13 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     # 4. quotient — device-chunked on TPU; on the CPU backend XLA cannot
     # compile the fused gate-evaluation graph (known XLA:CPU limitation), so
     # the identical values come from the host evaluator instead.
+    import os as _os
     if jax.default_backend() == "tpu":
-        qvals = _quotient_chunked(data, wires_comm, cs_comm, zs_pp_comm,
-                                  pi_hash, betas, gammas, alphas, deltas)
+        qfn = _quotient_chunked \
+            if _os.environ.get("ZKLC_QUOTIENT_SPLIT", "1") == "0" \
+            else _quotient_split
+        qvals = qfn(data, wires_comm, cs_comm, zs_pp_comm,
+                    pi_hash, betas, gammas, alphas, deltas)
     else:
         qhost = host_prover.eval_vanishing_on_coset(
             data, gl.to_u64_np(wires_comm.lde), gl.to_u64_np(cs_comm.lde),
