@@ -311,7 +311,219 @@ enum WitOp {
   OP_U32_INTERLEAVE = 10,// deps [x]; outs [inter, 32 bits BE]
   OP_UNINTERLEAVE = 11,  // params [spread]; deps [x]; outs [evens,odds,64 bits BE]
   OP_CONSTANTS = 12,     // params [values...]; outs [those values]
+  OP_FFMUL = 13,         // foreign-field mul gate hint (gates_lookup.py)
+  OP_FFADD = 14,         // foreign-field add/sub gate hint
+  OP_LK_RANGE = 15,      // u32 -> two 16-bit lane pieces
 };
+
+// ------------------------------------------------- multiword (u32 limbs) --
+typedef uint32_t u32l;
+
+static void mw_mul(const u32l* a, int na, const u32l* b, int nb, u32l* out) {
+  // out[na+nb] = a * b, schoolbook
+  std::memset(out, 0, sizeof(u32l) * (na + nb));
+  for (int i = 0; i < na; i++) {
+    u64 carry = 0;
+    for (int j = 0; j < nb; j++) {
+      u128 cur = (u128)a[i] * b[j] + out[i + j] + carry;
+      out[i + j] = (u32l)cur;
+      carry = (u64)(cur >> 32);
+    }
+    int k = i + nb;
+    while (carry) {
+      u128 cur = (u128)out[k] + carry;
+      out[k] = (u32l)cur;
+      carry = (u64)(cur >> 32);
+      k++;
+    }
+  }
+}
+
+static int mw_cmp(const u32l* a, const u32l* b, int n) {
+  for (int i = n - 1; i >= 0; i--) {
+    if (a[i] != b[i]) return a[i] < b[i] ? -1 : 1;
+  }
+  return 0;
+}
+
+static void mw_sub(u32l* a, const u32l* b, int n) {  // a -= b (a >= b)
+  int64_t borrow = 0;
+  for (int i = 0; i < n; i++) {
+    int64_t d = (int64_t)a[i] - (int64_t)b[i] - borrow;
+    borrow = d < 0;
+    a[i] = (u32l)(d + (borrow << 32));
+  }
+}
+
+static void mw_add1(u32l* a, int n) {  // a += 1
+  for (int i = 0; i < n; i++) {
+    if (++a[i]) break;
+  }
+}
+
+// Foreign-field mul hint: given a, b (8 u32 limbs each, < 2^256) and
+// modulus data in params, produce the full ForeignFieldMulGate witness.
+// params layout: m16[16] | mm16[16] | m32[8] | mu32[17]
+//   (mu = floor(2^512 / m) — Barrett constant; q_hat = floor(a*b*mu/2^512)
+//    is within 2 of the true quotient, corrected by a subtract loop).
+// outs: r32[8] a16[16] b16[16] q16[16] r16[16] clo[30] chi[30] d[16] bor[16]
+static bool ffmul_hint(const u64* dv, const u64* par, u64* ov) {
+  const u64* m16 = par;
+  const u64* mm16 = par + 16;
+  const u64* m32p = par + 32;
+  const u64* mu_p = par + 40;
+  u32l a[8], b[8], m[8], mu[17];
+  for (int i = 0; i < 8; i++) a[i] = (u32l)dv[i];
+  for (int i = 0; i < 8; i++) b[i] = (u32l)dv[8 + i];
+  for (int i = 0; i < 8; i++) m[i] = (u32l)m32p[i];
+  for (int i = 0; i < 17; i++) mu[i] = (u32l)mu_p[i];
+
+  u32l t[16];
+  mw_mul(a, 8, b, 8, t);                     // t = a*b, 512 bits
+  u32l tmu[33];
+  mw_mul(t, 16, mu, 17, tmu);                // t * mu
+  u32l q[9];                                  // q_hat = tmu >> 512
+  for (int i = 0; i < 9; i++) q[i] = (i + 16 < 33) ? tmu[i + 16] : 0;
+  // r = t - q*m  (fits in 9 words during correction)
+  u32l qm[17];
+  mw_mul(q, 9, m, 8, qm);
+  u32l r[17];
+  int64_t borrow = 0;
+  for (int i = 0; i < 16; i++) {
+    int64_t d = (int64_t)t[i] - (int64_t)qm[i] - borrow;
+    borrow = d < 0;
+    r[i] = (u32l)(d + (borrow << 32));
+  }
+  r[16] = (u32l)(0 - (u32l)qm[16] - (u32l)borrow);
+  if (borrow && qm[16] == 0) return false;   // q_hat too large: impossible
+  u32l m9[9];
+  for (int i = 0; i < 8; i++) m9[i] = m[i];
+  m9[8] = 0;
+  int guard = 0;
+  while (r[8] != 0 || mw_cmp(r, m9, 9) >= 0) {
+    mw_sub(r, m9, 9);
+    mw_add1(q, 9);
+    if (++guard > 4) return false;
+  }
+  if (q[8] != 0) return false;               // q must fit 256 bits
+
+  int o = 0;
+  for (int i = 0; i < 8; i++) ov[o++] = r[i];                 // r32
+  u64 a16[16], b16[16], q16[16], r16[16];
+  for (int i = 0; i < 8; i++) {
+    a16[2 * i] = a[i] & 0xFFFF;  a16[2 * i + 1] = a[i] >> 16;
+    b16[2 * i] = b[i] & 0xFFFF;  b16[2 * i + 1] = b[i] >> 16;
+    q16[2 * i] = q[i] & 0xFFFF;  q16[2 * i + 1] = q[i] >> 16;
+    r16[2 * i] = r[i] & 0xFFFF;  r16[2 * i + 1] = r[i] >> 16;
+  }
+  for (int i = 0; i < 16; i++) ov[o++] = a16[i];
+  for (int i = 0; i < 16; i++) ov[o++] = b16[i];
+  for (int i = 0; i < 16; i++) ov[o++] = q16[i];
+  for (int i = 0; i < 16; i++) ov[o++] = r16[i];
+  // conv carries
+  const i64 SHIFT = 1ll << 21;
+  i64 carry = 0;
+  i64 clo[30], chi[30];
+  for (int k = 0; k < 30; k++) {
+    i64 d = (k < 16) ? -(i64)r16[k] : 0;
+    int lo_i = k - 15 < 0 ? 0 : k - 15;
+    int hi_i = k + 1 < 16 ? k + 1 : 16;
+    for (int i = lo_i; i < hi_i; i++) {
+      d += (i64)a16[i] * (i64)b16[k - i];
+      d -= (i64)q16[i] * (i64)m16[k - i];
+    }
+    i64 v = d + carry;
+    if (v & 0xFFFF) return false;            // non-exact 16-bit carry
+    carry = v >> 16;
+    i64 sh = carry + SHIFT;
+    if (sh < 0 || sh >= (1ll << 22)) return false;
+    clo[k] = sh & 0xFFFF;
+    chi[k] = sh >> 16;
+  }
+  for (int k = 0; k < 30; k++) ov[o++] = (u64)clo[k];
+  for (int k = 0; k < 30; k++) ov[o++] = (u64)chi[k];
+  // r < m borrow chain
+  i64 prev = 0;
+  u64 dlo[16], bor[16];
+  for (int k = 0; k < 16; k++) {
+    i64 tt = (i64)mm16[k] - (i64)r16[k] - prev;
+    prev = tt < 0;
+    dlo[k] = (u64)(tt + (prev << 16));
+    bor[k] = (u64)prev;
+  }
+  for (int k = 0; k < 16; k++) ov[o++] = dlo[k];
+  for (int k = 0; k < 16; k++) ov[o++] = bor[k];
+  return true;
+}
+
+// Foreign-field add/sub hint.  params: sub_flag | m32[8] | mm16[16].
+// deps: a32[8] b32[8].  outs: r32[8] q c[7] r16[16] d[16] bor[16]
+static bool ffadd_hint(const u64* dv, const u64* par, u64* ov) {
+  bool sub = par[0] != 0;
+  const u64* m32p = par + 1;
+  const u64* mm16 = par + 9;
+  u32l a[8], b[8], m[8], r[8];
+  for (int i = 0; i < 8; i++) a[i] = (u32l)dv[i];
+  for (int i = 0; i < 8; i++) b[i] = (u32l)dv[8 + i];
+  for (int i = 0; i < 8; i++) m[i] = (u32l)m32p[i];
+  u64 q;
+  if (sub) {
+    q = mw_cmp(a, b, 8) < 0 ? 1 : 0;
+    // r = a - b + q*m
+    int64_t carry = 0;
+    for (int i = 0; i < 8; i++) {
+      int64_t d = (int64_t)a[i] - (int64_t)b[i] +
+                  (q ? (int64_t)m[i] : 0) + carry;
+      carry = d >> 32;                        // arithmetic shift
+      r[i] = (u32l)d;
+    }
+    if (carry != 0) return false;
+  } else {
+    u32l s[9];
+    u64 carry = 0;
+    for (int i = 0; i < 8; i++) {
+      u64 d = (u64)a[i] + b[i] + carry;
+      s[i] = (u32l)d;
+      carry = d >> 32;
+    }
+    s[8] = (u32l)carry;
+    u32l m9[9];
+    for (int i = 0; i < 8; i++) m9[i] = m[i];
+    m9[8] = 0;
+    q = (s[8] != 0 || mw_cmp(s, m9, 9) >= 0) ? 1 : 0;
+    if (q) mw_sub(s, m9, 9);
+    if (s[8] != 0) return false;
+    for (int i = 0; i < 8; i++) r[i] = s[i];
+  }
+  int o = 0;
+  for (int i = 0; i < 8; i++) ov[o++] = r[i];
+  ov[o++] = q;
+  // limb-granularity carries for the gate's 8 limb equations (c0..c6)
+  i64 carry = 0;
+  for (int j = 0; j < 8; j++) {
+    i64 mj = q ? (i64)m[j] : 0;
+    i64 d = sub ? (i64)a[j] - (i64)b[j] + mj - (i64)r[j] + carry
+                : (i64)a[j] + (i64)b[j] - mj - (i64)r[j] + carry;
+    if (d & 0xFFFFFFFFll) return false;
+    carry = d >> 32;
+    if (j < 7) ov[o++] = carry >= 0 ? (u64)carry : (u64)(P + carry);
+  }
+  if (carry != 0) return false;
+  u64 r16[16];
+  for (int i = 0; i < 8; i++) {
+    r16[2 * i] = r[i] & 0xFFFF;
+    r16[2 * i + 1] = r[i] >> 16;
+  }
+  for (int i = 0; i < 16; i++) ov[o++] = r16[i];
+  i64 prev = 0;
+  for (int k = 0; k < 16; k++) {
+    i64 tt = (i64)mm16[k] - (i64)r16[k] - prev;
+    prev = tt < 0;
+    ov[o + k] = (u64)(tt + (prev << 16));
+    ov[o + 16 + k] = (u64)prev;
+  }
+  return true;
+}
 
 struct WitCtx {
   u64* values;
@@ -487,6 +699,17 @@ i64 wit_execute_impl(
       }
       case OP_CONSTANTS:
         for (int k = 0; k < no; k++) ov[k] = params_pool[par_off[i] + k];
+        break;
+      case OP_FFMUL:
+        if (!ffmul_hint(dv, par, ov)) return -(i + 1);
+        break;
+      case OP_FFADD:
+        if (!ffadd_hint(dv, par, ov)) return -(i + 1);
+        break;
+      case OP_LK_RANGE:
+        if (dv[0] >> 32) return -(i + 1);
+        ov[0] = dv[0] & 0xFFFF;
+        ov[1] = dv[0] >> 16;
         break;
       default:
         return -(i + 1);

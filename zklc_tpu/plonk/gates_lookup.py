@@ -199,7 +199,11 @@ class ForeignFieldMulGate(Gate):
             out += dlo + bor
             return [np.uint64(x) for x in out]
 
-        return [Generator(deps, outs, fn)]
+        mu = (1 << 512) // modulus
+        params = list(self.m16) + list(self.mm16) + \
+            [(modulus >> (32 * j)) & 0xFFFFFFFF for j in range(8)] + \
+            [(mu >> (32 * j)) & 0xFFFFFFFF for j in range(17)]
+        return [Generator(deps, outs, fn, op=("FFMUL", params))]
 
 
 class ForeignFieldAddGate(Gate):
@@ -391,7 +395,10 @@ class ForeignFieldAddGate(Gate):
                 out += dlo + bor
                 return [np.uint64(x % gl64.P) for x in out]
 
-            gens.append(Generator(deps, outs, fn))
+            params = [1 if sub_mode else 0] + \
+                [(modulus >> (32 * j)) & 0xFFFFFFFF for j in range(8)] + \
+                list(mm16)
+            gens.append(Generator(deps, outs, fn, op=("FFADD", params)))
         return gens
 
 
@@ -455,5 +462,5 @@ class LookupU32RangeGate(Gate):
                 assert x < (1 << 32), f"u32 range check witness {x}"
                 return [np.uint64(x & MASK16), np.uint64(x >> 16)]
 
-            gens.append(Generator(deps, outs, fn))
+            gens.append(Generator(deps, outs, fn, op=("LK_RANGE", [])))
         return gens

@@ -23,7 +23,8 @@ OPCODES = {
     "PYTHON": 0, "ARITH": 1, "BASE_SUM": 2, "RANDOM_ACCESS": 3,
     "POSEIDON": 4, "IS_EQUAL": 5, "U32_ARITH": 6, "U32_ADDMANY": 7,
     "U32_SUB": 8, "U32_RANGECHECK": 9, "U32_INTERLEAVE": 10,
-    "UNINTERLEAVE": 11, "CONSTANTS": 12,
+    "UNINTERLEAVE": 11, "CONSTANTS": 12, "FFMUL": 13, "FFADD": 14,
+    "LK_RANGE": 15,
 }
 
 _MAX_FAN = 255  # C++ VM scratch-buffer bound
