@@ -247,3 +247,34 @@ def test_recursive_verifier_accepts_lookup_proof():
     with pytest.raises((WitnessConflict, AssertionError)):
         wr = generate_witness(rdata, rinputs)
         testing.check_constraints(rdata, wr)
+
+
+def test_batch_leaf_pi_layout_matches_singles():
+    """A K-slot batch leaf must expose the same flat PI layout as K single
+    leaves in slot order (the block_finality word binding relies on it)."""
+    from zklc_tpu.near import signatures as S
+    from zklc_tpu.gadgets.eddsa import EddsaOps
+    import hashlib
+    # synthetic: two valid signatures over one message via known keys
+    from zklc_tpu.gadgets import ed25519_native as edn
+    msg = b"\x00" + b"\x11" * 32 + (7).to_bytes(8, "little")
+    sig_pks = []
+    for seed in (b"\x01" * 32, b"\x02" * 32):
+        _, pk = edn.keypair_from_seed(seed)
+        sig_pks.append((edn.sign_message(msg, seed), pk))
+    data, ops, tgs = S.get_ed25519_circuit(len(msg), 2)
+    inputs = {}
+    for tg, (sig, pk) in zip(tgs, sig_pks):
+        EddsaOps.fill_eddsa(tg, msg, sig, pk, inputs)
+    from zklc_tpu.plonk.witness import generate_witness
+    wr = generate_witness(data, inputs)
+    testing.check_constraints(data, wr)
+    testing.check_lookup(data, wr)
+    pis = [int(wr.get(t)) for t in data.public_input_targets]
+    blocks = (len(msg + b"\x00" * 64) * 8 + 1 + 128 + 1023) // 1024
+    per = None
+    for i, (sig, pk) in enumerate(sig_pks):
+        want = EddsaOps.expected_public_inputs(msg, pk, sig[:32], blocks)
+        per = len(want)
+        assert pis[i * per: (i + 1) * per] == want, f"slot {i} PI mismatch"
+    assert len(pis) == per * 2

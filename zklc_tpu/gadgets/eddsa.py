@@ -124,6 +124,19 @@ class EddsaOps:
         return EddsaTargets(sha=sha_t, s_limbs=list(s.value.limbs),
                             msg_len=msg_len)
 
+    def ed25519_batch_circuit(self, msg_len: int, k: int) -> list:
+        """K independent EdDSA verifications in ONE circuit.
+
+        TPU-first replacement for the reference's one-circuit-per-signature
+        NATS fan-out (signatures.rs:144): with the LogUp gates one
+        verification occupies ~14k rows while the 16-bit lookup table forces
+        2^16 rows, so batching K=4 signatures fills the padding for free —
+        same prove cost, 4x throughput.  Public inputs are the K slots'
+        padded transcript words concatenated in slot order, so a batch leaf
+        is PI-layout-identical to K folded single leaves
+        (near/block_finality.py's word binding needs no changes)."""
+        return [self.ed25519_circuit(msg_len) for _ in range(k)]
+
     # -- witness -----------------------------------------------------------
     @staticmethod
     def fill_eddsa(targets: EddsaTargets, msg: bytes, sig: bytes, pk: bytes,

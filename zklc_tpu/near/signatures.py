@@ -83,29 +83,47 @@ _dev_leaf_cache: dict = {}
 _agg_circuit_cache: dict = {}
 
 
-def get_ed25519_circuit(msg_len: int):
-    """Build-once cache keyed by message byte length — the exact cache
-    discipline of prove_crypto/ed25519.rs:18 get_ed25519_circuit_targets."""
-    if msg_len in _eddsa_circuit_cache:
-        return _eddsa_circuit_cache[msg_len]
+BATCH_K = 4     # EdDSA slots per leaf circuit (~14k rows each, 2^16 total)
+
+
+def get_ed25519_circuit(msg_len: int, k: int = 1):
+    """Build-once cache keyed by (message byte length, batch size) — the
+    cache discipline of prove_crypto/ed25519.rs:18, extended with the batch
+    axis (k slots per circuit fill the 16-bit-lookup-table padding)."""
+    key = (msg_len, k)
+    if key in _eddsa_circuit_cache:
+        return _eddsa_circuit_cache[key]
     from ..plonk.builder import CircuitBuilder
     from ..plonk.config import CircuitConfig
     from ..gadgets.eddsa import EddsaOps
     b = CircuitBuilder(CircuitConfig.wide_lookup_config())
     ops = EddsaOps(b)
-    tg = ops.ed25519_circuit(msg_len)
+    tgs = ops.ed25519_batch_circuit(msg_len, k)
     data = b.build()
-    _eddsa_circuit_cache[msg_len] = (data, ops, tg)
-    return data, ops, tg
+    _eddsa_circuit_cache[key] = (data, ops, tgs)
+    return data, ops, tgs
 
 
 def prove_signature(message: bytes, sig: bytes, pk: bytes):
     """One real EdDSA proof (ed25519_proof_reuse_circuit, ed25519.rs:44)."""
     from ..plonk import prover
     from ..gadgets.eddsa import EddsaOps
-    data, ops, tg = get_ed25519_circuit(len(message))
+    data, ops, tgs = get_ed25519_circuit(len(message))
     inputs: dict = {}
-    EddsaOps.fill_eddsa(tg, message, sig, pk, inputs)
+    EddsaOps.fill_eddsa(tgs[0], message, sig, pk, inputs)
+    proof = prover.prove(data, inputs)
+    return data, proof
+
+
+def prove_signature_batch(message: bytes, sig_pks: list):
+    """One proof covering len(sig_pks) <= BATCH_K signatures of the same
+    approval message; sig_pks: [(sig64, pk32)]."""
+    from ..plonk import prover
+    from ..gadgets.eddsa import EddsaOps
+    data, ops, tgs = get_ed25519_circuit(len(message), len(sig_pks))
+    inputs: dict = {}
+    for tg, (sig, pk) in zip(tgs, sig_pks):
+        EddsaOps.fill_eddsa(tg, message, sig, pk, inputs)
     proof = prover.prove(data, inputs)
     return data, proof
 
@@ -189,13 +207,20 @@ def prove_approvals(message: bytes, approvals: list,
     block_finality.prove_valid_keys_digest on top.
     """
     check = check_approvals(message, approvals, validators)
-    prove_one = prove_signature_dev if dev_mode else prove_signature
-    leaves = []
+    sig_pks = []
     for idx in check.valid_indices:
         sig = approvals[idx]
         raw_sig = sig[1:] if len(sig) == 65 else sig
-        pk = validators[idx].public_key[1:]
-        leaves.append(prove_one(message, raw_sig, pk))
+        sig_pks.append((raw_sig, validators[idx].public_key[1:]))
+    leaves = []
+    if dev_mode:
+        leaves = [prove_signature_dev(message, s, p) for s, p in sig_pks]
+    else:
+        # batch leaves: BATCH_K signatures per proof (same flat PI layout
+        # as K folded singles — slot order == ascending validator index)
+        for start in range(0, len(sig_pks), BATCH_K):
+            leaves.append(prove_signature_batch(
+                message, sig_pks[start: start + BATCH_K]))
     if not leaves:
         raise ValueError("no valid approvals to prove")
     data, proof = fold_proof_tree(leaves)

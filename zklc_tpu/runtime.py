@@ -13,6 +13,8 @@ import os
 
 
 def configure_jax_cache() -> None:
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return   # CPU AOT cache entries are machine-feature-pinned; skip
     try:
         import jax
         cache_dir = os.environ.get("ZKLC_JAX_CACHE",
