@@ -656,6 +656,24 @@ def _quotient_coeff_kernel(qvals, lde_bits: int, rate_bits: int, n: int):
     return (coeffs[0].reshape(nc * rate, n), coeffs[1].reshape(nc * rate, n))
 
 
+def _phase_timer():
+    """ZKLC_TIMING=1 prints device-synchronized phase durations."""
+    import os as _os
+    import time as _time
+    if _os.environ.get("ZKLC_TIMING", "0") != "1":
+        return lambda *_a: None
+    state = {"t": _time.perf_counter()}
+
+    def mark(name, *pending):
+        for x in pending:
+            jax.block_until_ready(x)
+        now = _time.perf_counter()
+        print("  [prove] %-18s %6.2fs" % (name, now - state["t"]),
+              flush=True)
+        state["t"] = now
+    return mark
+
+
 def prove(data: ProverData, inputs: dict) -> Proof:
     common = data.common
     cfg = common.config
@@ -663,11 +681,13 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     fc = cfg.fri_config
     n = common.degree
     lde_bits = fp.lde_bits
+    mark = _phase_timer()
 
     cs_comm = ensure_cs_device(data)
 
     # 1. witness + wires commitment
     wr = generate_witness(data, inputs)
+    mark("witness")
     wires = wr.wires
     public_inputs = np.array([wr.get(t) for t in data.public_input_targets],
                              dtype=np.uint64)
@@ -680,6 +700,7 @@ def prove(data: ProverData, inputs: dict) -> Proof:
         wires = np.concatenate([wires, m_cols], axis=1)
     wires_comm = DeviceCommitment(np.ascontiguousarray(wires.T),
                                   fc.rate_bits, fc.cap_height)
+    mark("wires_comm", wires_comm.lde)
 
     # 2. transcript
     ch = pos.Challenger()
@@ -699,9 +720,11 @@ def prove(data: ProverData, inputs: dict) -> Proof:
             common.lookup, wires, data.constants_rows, deltas,
             cfg.num_wires)
         zs_pp = np.concatenate([zs_pp, lk_cols], axis=0)
+    mark("zs_pp host")
     zs_pp_comm = DeviceCommitment(zs_pp, fc.rate_bits, fc.cap_height)
     ch.observe_cap(zs_pp_comm.cap_u64)
     alphas = ch.get_n_challenges(cfg.num_challenges)
+    mark("zs_pp_comm", zs_pp_comm.lde)
 
     # 4. quotient — device-chunked on TPU; on the CPU backend XLA cannot
     # compile the fused gate-evaluation graph (known XLA:CPU limitation), so
@@ -724,6 +747,7 @@ def prove(data: ProverData, inputs: dict) -> Proof:
                                      values_are_coeffs=True,
                                      dev_values=chunks)
     ch.observe_cap(quotient_comm.cap_u64)
+    mark("quotient+commit", quotient_comm.lde)
     zeta = np.array(ch.get_extension_challenge(), dtype=np.uint64)
 
     # 5. openings (device barycentric; inversion-bearing vectors from host)
@@ -772,6 +796,7 @@ def prove(data: ProverData, inputs: dict) -> Proof:
         lookups=zspp_at[n_perm:] if block else None,
         lookup_zs_next=at_next[nc:] if block else None,
     )
+    mark("openings")
     for v in openings.fri_batch_zeta():
         ch.observe_extension(v)
     for v in openings.fri_batch_zeta_next():
@@ -783,6 +808,7 @@ def prove(data: ProverData, inputs: dict) -> Proof:
         oracles=[cs_comm, wires_comm, zs_pp_comm, quotient_comm],
         openings=openings, invden0=invden0_neg, invden1=invden1_neg,
         x_np=x_np)
+    mark("fri")
 
     return Proof(
         wires_cap=wires_comm.cap_u64,
