@@ -1,0 +1,85 @@
+"""End-to-end five-block BFT finality (dev-mode leaves, check_only).
+
+Validates the whole aggregation statement of prove_bft/bft.rs:38 +
+block_finality.rs:200 on real mainnet fixtures: header-hash PI layouts,
+consecutive-heights chain, doomslug/BFT hash links, epoch linkage
+(epoch_id(B_i) == hash(Block_n-1(E-2))), signature fold tree, keys&stakes
+2/3 binding, and the final [tag || block_hash || epoch hashes] PI assembly.
+
+Dev-mode leaves (RISC0_DEV_MODE pattern) + check_only keep it CPU-tractable;
+validators are a stake-dominant subset of the 100-validator fixture (the
+positions of approvals are preserved so signature pairing stays intact).
+"""
+import os.path as p
+
+import numpy as np
+import pytest
+
+from zklc_tpu.near import utils as U, bft as B, signatures as S
+
+
+class _ApprovalsView:
+    """Header proxy replacing the approvals list (subset testing)."""
+
+    def __init__(self, header, approvals):
+        self._h = header
+        self._apr = approvals
+
+    def __getattr__(self, k):
+        return getattr(self._h, k)
+
+    @property
+    def approvals(self):
+        return self._apr
+
+
+def test_bft_e2e_dev_random_mode():
+    eps = U.ordered_epochs()
+    assert len(eps) >= 3
+    epoch_blocks, blocks = U.set_blocks(eps[-1], eps[-2], eps[-3])
+    allv = U.load_validators(
+        p.join(U.epoch_dir(eps[-1]), "validators.json"))
+    b_i, b_next = blocks[4], blocks[3]
+    msg = S.generate_signed_message(b_i.height, b_next.height, b_i.hash)
+    apr = b_next.approvals
+    chk_full = S.check_approvals(msg, apr, allv)
+    valid = chk_full.valid_indices
+    nonvalid = [i for i in range(len(allv)) if i not in valid]
+    sel = sorted(valid[:3] + nonvalid[-1:])
+    vals = [allv[i] for i in sel]
+    apr_sub = [apr[i] for i in sel]
+    sub = S.check_approvals(msg, apr_sub, vals)
+    assert 3 * sub.valid_stake >= 2 * sub.total_stake, \
+        "fixture subset lost 2/3 stake dominance"
+
+    blocks2 = list(blocks)
+    blocks2[3] = _ApprovalsView(blocks[3], apr_sub)
+    res = B.prove_block_bft(epoch_blocks, blocks2, vals,
+                            dev_mode=True, check_only=True, mode="random")
+    want = [B.TAG_RANDOM] + list(b_i.hash) \
+        + list(epoch_blocks[1][1].hash) + list(epoch_blocks[0][1].hash)
+    assert res.public_inputs == want
+
+
+def test_bft_rejects_misordered_epochs():
+    """Mis-ordered epoch inputs must fail the epoch-linkage copy constraint
+    (epoch_id(B_i) != hash(Block_n-1(E-2)))."""
+    from zklc_tpu.plonk.witness import WitnessConflict
+    eps = U.ordered_epochs()
+    # wrong order: swap E-1 and E-2 (both have the stored-hash fixtures)
+    epoch_blocks, blocks = U.set_blocks(eps[-1], eps[-3], eps[-2])
+    allv = U.load_validators(
+        p.join(U.epoch_dir(eps[-1]), "validators.json"))
+    b_i, b_next = blocks[4], blocks[3]
+    msg = S.generate_signed_message(b_i.height, b_next.height, b_i.hash)
+    apr = b_next.approvals
+    chk_full = S.check_approvals(msg, apr, allv)
+    valid = chk_full.valid_indices
+    nonvalid = [i for i in range(len(allv)) if i not in valid]
+    sel = sorted(valid[:3] + nonvalid[-1:])
+    vals = [allv[i] for i in sel]
+    blocks2 = list(blocks)
+    blocks2[3] = _ApprovalsView(blocks[3], [apr[i] for i in sel])
+    with pytest.raises((WitnessConflict, AssertionError)):
+        B.prove_block_bft(epoch_blocks, blocks2, vals,
+                          dev_mode=True, check_only=True, mode="random")

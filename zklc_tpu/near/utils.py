@@ -96,6 +96,19 @@ def set_blocks(epoch_id_i: str, epoch_id_i_1: str, epoch_id_i_2: str,
     return epoch_blocks, blocks
 
 
+def ordered_epochs(data_dir: str = DEFAULT_DATA_DIR) -> list[str]:
+    """Epoch ids in CHAIN order (ascending block-0 height) — set_blocks
+    wants (E_i, E_i-1, E_i-2); directory listing order is alphabetical and
+    the BFT linking circuit rejects mis-ordered epochs."""
+    out = []
+    for e in list_epochs(data_dir):
+        try:
+            out.append((load_epoch_block(e, "block-0", data_dir).height, e))
+        except OSError:
+            continue
+    return [e for _, e in sorted(out)]
+
+
 def list_epochs(data_dir: str = DEFAULT_DATA_DIR) -> list[str]:
     root = os.path.join(data_dir, "epochs")
     return sorted(d for d in os.listdir(root) if not d.endswith("_STORED"))

@@ -124,6 +124,27 @@ def _commit_kernel(vals, log_n: int, rate_bits: int, cap_height: int,
     return lde, levels
 
 
+def put_wires_async(wires_t_u64: np.ndarray):
+    """Start the host->device transfer of a (P, n) u64 wire matrix and
+    return a thunk producing the device (hi, lo) planes.
+
+    Two tricks for the slow tunnel link: the put is ASYNC (overlaps the
+    host-side zs/lookup column computation), and hi-plane columns that are
+    entirely zero (most wires hold lane pieces / bits / u32 limbs < 2^32)
+    are skipped and re-scattered on device."""
+    hl = gl.from_u64_np(wires_t_u64)
+    nz = np.flatnonzero(hl[0].any(axis=1))
+    P, n = hl[0].shape
+    hi_sub = jax.device_put(np.ascontiguousarray(hl[0][nz]))
+    lo_dev = jax.device_put(hl[1])
+    nz_dev = jnp.asarray(nz)
+
+    def get():
+        hi_full = jnp.zeros((P, n), jnp.uint32).at[nz_dev].set(hi_sub)
+        return (hi_full, lo_dev)
+    return get
+
+
 class DeviceCommitment:
     """Device-resident PolynomialBatch: lde + Merkle levels stay in HBM."""
 
@@ -327,25 +348,44 @@ def _u64(hi, lo):
         np.asarray(lo).astype(np.uint64)
 
 
-def _gather_tree_proofs(levels, indices) -> np.ndarray:
-    """Sibling paths: host (k, depth, 4) u64."""
-    out = []
+def _gather_tree_proofs_dev(levels, indices):
+    """Sibling paths as ONE device (k, depth, 4) pair (no host pull)."""
+    his, los = [], []
     idx = np.asarray(indices, dtype=np.int64)
     for level in levels[:-1]:
         sel = jnp.asarray(idx ^ 1)
-        out.append(_u64(jnp.take(level[0], sel, axis=0),
-                        jnp.take(level[1], sel, axis=0)))
+        his.append(jnp.take(level[0], sel, axis=0))
+        los.append(jnp.take(level[1], sel, axis=0))
         idx >>= 1
-    if not out:
-        return np.zeros((len(indices), 0, 4), dtype=np.uint64)
-    return np.stack(out, axis=1)
+    if not his:
+        return (jnp.zeros((len(indices), 0, 4), jnp.uint32),
+                jnp.zeros((len(indices), 0, 4), jnp.uint32))
+    return (jnp.stack(his, axis=1), jnp.stack(los, axis=1))
 
 
-def _gather_lde_columns(lde, cols) -> np.ndarray:
-    """Host (k, P) u64 of LDE values at natural positions `cols`."""
+def _gather_lde_columns_dev(lde, cols):
+    """Device (k, P) pair of LDE values at natural positions `cols`."""
     sel = jnp.asarray(np.asarray(cols, dtype=np.int64))
-    return _u64(jnp.take(lde[0], sel, axis=-1),
-                jnp.take(lde[1], sel, axis=-1)).T
+    return (jnp.take(lde[0], sel, axis=-1).T,
+            jnp.take(lde[1], sel, axis=-1).T)
+
+
+def _pull_many(pairs) -> list:
+    """Fetch many device (hi, lo) pairs in ONE device->host transfer.
+
+    The tunneled link has multi-hundred-ms per-transfer latency, so ~100
+    per-level sibling pulls dominate FRI query extraction; concatenating
+    everything into one flat buffer makes it a single round trip."""
+    flat_hi = jnp.concatenate([p[0].reshape(-1) for p in pairs])
+    flat_lo = jnp.concatenate([p[1].reshape(-1) for p in pairs])
+    big = _u64(flat_hi, flat_lo)
+    out, off = [], 0
+    for p in pairs:
+        shape = tuple(p[0].shape)
+        sz = int(np.prod(shape)) if shape else 1
+        out.append(big[off: off + sz].reshape(shape))
+        off += sz
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -698,8 +738,9 @@ def prove(data: ProverData, inputs: dict) -> Proof:
         m_cols = lk_mod.compute_multiplicities(common.lookup, wires,
                                                data.constants_rows)
         wires = np.concatenate([wires, m_cols], axis=1)
-    wires_comm = DeviceCommitment(np.ascontiguousarray(wires.T),
-                                  fc.rate_bits, fc.cap_height)
+    wires_dev = put_wires_async(np.ascontiguousarray(wires.T))
+    wires_comm = DeviceCommitment(None, fc.rate_bits, fc.cap_height,
+                                  dev_values=wires_dev())
     mark("wires_comm", wires_comm.lde)
 
     # 2. transcript
@@ -831,6 +872,7 @@ def _prove_fri_device(common, fp, ch, oracles, openings, invden0, invden1,
                       x_np):
     cfg = fp.config
     nc = common.config.num_challenges
+    mark = _phase_timer()
     alpha = np.array(ch.get_extension_challenge(), dtype=np.uint64)
 
     # reduced polynomial (value space) — batch order matches the oracle
@@ -870,6 +912,7 @@ def _prove_fri_device(common, fp, ch, oracles, openings, invden0, invden1,
     q1 = _reduced_from_combined(combined1, _ext_to_dev(r1z), invden1)
     alpha_shift = ph.ext_powers(alpha, f1.shape[0] + 1)[-1]
     cur = _accumulate_scaled(q0, q1, _ext_to_dev(alpha_shift))
+    mark("fri.combine", cur)
 
     # commit phase
     commit_leaves, commit_levels, caps = [], [], []
@@ -900,6 +943,7 @@ def _prove_fri_device(common, fp, ch, oracles, openings, invden0, invden1,
         cur = _fri_fold_kernel(cur, _ext_arr_to_dev(xinv_np),
                                _ext_arr_to_dev(fold_scale), arity_bits)
         cur_x = y
+        mark("fri.step", cur)
 
     # final polynomial
     final_vals = _ext_from_dev(cur)                # (M_f, 2)
@@ -911,8 +955,10 @@ def _prove_fri_device(common, fp, ch, oracles, openings, invden0, invden1,
     for c in final_poly:
         ch.observe_extension(c)
 
+    mark("fri.final_poly")
     pow_witness = fri_host.grind_pow(ch, cfg.proof_of_work_bits)
     ch.observe_element(pow_witness)
+    mark("fri.grind")
     _ = ch.get_challenge()
 
     lde_bits = fp.lde_bits
@@ -923,22 +969,31 @@ def _prove_fri_device(common, fp, ch, oracles, openings, invden0, invden1,
 
     rev = bit_rev_perm(lde_bits)
     nat_cols = [int(rev[i]) for i in query_indices]
-    oracle_leaves = [_gather_lde_columns(o.lde, nat_cols) for o in oracles]
-    oracle_sibs = [_gather_tree_proofs(o.levels, query_indices)
-                   for o in oracles]
+    n_or = len(oracles)
+    n_steps = len(fp.reduction_arity_bits)
+    dev_parts = [_gather_lde_columns_dev(o.lde, nat_cols) for o in oracles]
+    dev_parts += [_gather_tree_proofs_dev(o.levels, query_indices)
+                  for o in oracles]
     step_idx = []
     cur_idx = np.array(query_indices, dtype=np.int64)
     for arity_bits in fp.reduction_arity_bits:
         cur_idx = cur_idx >> arity_bits
         step_idx.append(cur_idx.copy())
-    step_leaves, step_sibs = [], []
-    for r in range(len(fp.reduction_arity_bits)):
+    for r in range(n_steps):
         sel = jnp.asarray(step_idx[r])
         lv = commit_leaves[r]
-        step_leaves.append(_u64(jnp.take(lv[0], sel, axis=0),
-                                jnp.take(lv[1], sel, axis=0)))
-        step_sibs.append(_gather_tree_proofs(commit_levels[r], step_idx[r]))
+        dev_parts.append((jnp.take(lv[0], sel, axis=0),
+                          jnp.take(lv[1], sel, axis=0)))
+    for r in range(n_steps):
+        dev_parts.append(_gather_tree_proofs_dev(commit_levels[r],
+                                                 step_idx[r]))
+    pulled = _pull_many(dev_parts)
+    oracle_leaves = pulled[:n_or]
+    oracle_sibs = pulled[n_or: 2 * n_or]
+    step_leaves = pulled[2 * n_or: 2 * n_or + n_steps]
+    step_sibs = pulled[2 * n_or + n_steps:]
 
+    mark("fri.gathers")
     rounds = []
     for qi in range(cfg.num_query_rounds):
         evals_proofs = [(oracle_leaves[oi][qi], oracle_sibs[oi][qi])
