@@ -64,7 +64,11 @@ for j in range(5):
 class FakeEpochHeader(FakeHeader):
     pass
 
-ep_blocks = [(ep1_hash, FakeHeader(1, ep1_hash, H(1), H(1), H(1), H(1), H(1), H(0xB1), [])),
+# Block_0(E-1).next_bp_hash commits the validator set (bind_bp_hash link)
+import hashlib
+bp = hashlib.sha256(len(vals).to_bytes(4, "little")
+                    + b"".join(v.serialize() for v in vals)).digest()
+ep_blocks = [(ep1_hash, FakeHeader(1, ep1_hash, H(1), H(1), H(1), H(1), H(1), bp, [])),
              (ep2_hash, FakeHeader(2, ep2_hash, H(2), H(2), H(2), H(2), H(2), H(0xB2), []))]
 
 t0 = time.perf_counter()

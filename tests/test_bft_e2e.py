@@ -54,8 +54,12 @@ def test_bft_e2e_dev_random_mode():
 
     blocks2 = list(blocks)
     blocks2[3] = _ApprovalsView(blocks[3], apr_sub)
+    # bind_bp_hash=False: the subset's digest cannot equal the committed
+    # next_bp_hash; the binding itself is covered by test_keys_stakes.py
+    # and the real full-validator run (scripts/real_bft_prove.py).
     res = B.prove_block_bft(epoch_blocks, blocks2, vals,
-                            dev_mode=True, check_only=True, mode="random")
+                            dev_mode=True, check_only=True, mode="random",
+                            bind_bp_hash=False)
     want = [B.TAG_RANDOM] + list(b_i.hash) \
         + list(epoch_blocks[1][1].hash) + list(epoch_blocks[0][1].hash)
     assert res.public_inputs == want
@@ -82,4 +86,5 @@ def test_bft_rejects_misordered_epochs():
     blocks2[3] = _ApprovalsView(blocks[3], [apr[i] for i in sel])
     with pytest.raises((WitnessConflict, AssertionError)):
         B.prove_block_bft(epoch_blocks, blocks2, vals,
-                          dev_mode=True, check_only=True, mode="random")
+                          dev_mode=True, check_only=True, mode="random",
+                          bind_bp_hash=False)

@@ -93,7 +93,7 @@ class BftProof:
 
 def prove_block_bft(epoch_blocks: list, blocks: list, validators: list,
                     dev_mode: bool = False, check_only: bool = False,
-                    mode: str = "random") -> BftProof:
+                    mode: str = "random", bind_bp_hash: bool = True) -> BftProof:
     """blocks: [B_i+4, B_i+3, B_i+2, B_i+1, B_i] parsed headers
     (utils.set_blocks order); epoch_blocks: [(stored_hash, Block_0(E-1)),
     (stored_hash, Block_n-1(E-2))].
@@ -101,6 +101,14 @@ def prove_block_bft(epoch_blocks: list, blocks: list, validators: list,
     check_only: build the aggregation circuit, generate its witness and
     check constraints without producing the outer FRI proof (fast path for
     CPU tests; the full prove is the TPU path).
+
+    bind_bp_hash (default ON, matching header_bphash.rs:125 +
+    block_finality.rs:347-370): the keys_stakes circuit computes
+    sha256(u32-LE count || borsh(validators)) in-circuit and the
+    aggregation connects that digest to the next_bp_hash PIs of the
+    Block_0(E-1) epoch header proof, so `validators` MUST be the full
+    block-producer set of B_i's epoch.  Only tests that substitute a
+    stake-dominant validator subset may disable it.
     """
     assert len(blocks) == 5
     prove_hdr = prove_header_dev if dev_mode else prove_header
@@ -116,8 +124,9 @@ def prove_block_bft(epoch_blocks: list, blocks: list, validators: list,
         msg, b_next.approvals, validators, dev_mode=dev_mode)
 
     borsh = [v.serialize() for v in validators]
-    ks_data, (vk_t, val_t) = build_keys_stakes_circuit(
-        tuple(len(x) for x in borsh), tuple(check.valid_indices))
+    ks_data, (vk_t, val_t, _bp_t) = build_keys_stakes_circuit(
+        tuple(len(x) for x in borsh), tuple(check.valid_indices),
+        bind_bp_hash=bind_bp_hash)
     ks_inputs: dict = {}
     for t, v in zip(vk_t, check.valid_keys_bytes):
         ks_inputs[t] = np.uint64(v)
@@ -167,6 +176,16 @@ def prove_block_bft(epoch_blocks: list, blocks: list, validators: list,
         for k in range(32):
             b.connect(hdr_pts[4].public_inputs[OFF_EPOCH_ID + k],
                       ep_pts[1].public_inputs[k])
+
+    # bp_hash binding (header_bphash.rs:125 / block_finality.rs:347-370):
+    # the keys_stakes circuit's in-circuit sha256(count || borsh(validators))
+    # digest PIs must equal next_bp_hash of Block_0(E-1) — epoch-mode header
+    # PI layout is hash(32) | next_bp_hash(32) | next_epoch_id(32).
+    if bind_bp_hash:
+        bp_off = len(check.valid_keys_bytes) + sum(len(x) for x in borsh)
+        for k in range(32):
+            b.connect(ks_pt.public_inputs[bp_off + k],
+                      ep_pts[0].public_inputs[32 + k])
 
     # signature links (see block_finality.py)
     hash_bytes = pis(hdr_pts[4], OFF_HASH, 32)

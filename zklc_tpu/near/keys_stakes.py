@@ -12,9 +12,17 @@ keys_stakes.rs:18 `prove_valid_keys_stakes_in_valiators_list`:
       with carry chains (the reference uses 8-bit limb chains, :76-104);
   (d) 3 * valid_stake >= 2 * total_stake (:150-239).
 
-Public inputs: valid_keys bytes ++ concat(borsh validators) bytes — the
-aggregation layer links them to the signature fold's sha256(valid_keys)
-digest and to the bp_hash proof's message words (block_finality.py).
+  (e) [bp_hash binding, near_bft_finality/src/prove_block_data/
+      header_bphash.rs:125 `prove_bp_hash`] sha256(u32-LE count ||
+      concat(borsh(validators))) is computed IN-CIRCUIT from the same
+      validator byte targets and its digest registered as public inputs —
+      the aggregation layer connects them to the epoch block's committed
+      `next_bp_hash` header PIs, so a prover cannot substitute a fabricated
+      validator set (the round-1 soundness hole flagged by VERDICT.md #2).
+
+Public inputs: valid_keys bytes ++ concat(borsh validators) bytes ++
+bp_hash digest bytes — the aggregation layer links valid_keys to the
+signature leaves' pk transcript words and the digest to next_bp_hash.
 """
 from __future__ import annotations
 
@@ -67,9 +75,48 @@ def _two_thirds_limbs(b: CircuitBuilder, u: U32Ops, valid: list, total: list):
     b.assert_zero(borrow)
 
 
+def _bp_hash_digest(b: CircuitBuilder, validator_rows: list) -> list:
+    """In-circuit sha256(u32-LE count || concat(validator borsh bytes)).
+
+    The message stream interleaves constants (count prefix + FIPS 180-4
+    padding) with the circuit's validator byte targets, packed into BE u32
+    words for the word-level sha256 gadget.  Returns 32 digest byte targets
+    (same semantics as compute_bp_hash, near_risc0/lib/src/
+    verification.rs:161 / header_bphash.rs:125)."""
+    from ..gadgets.sha256 import Sha256Ops, HashInputTarget
+    from ..gadgets.biguint import BigUintTarget
+    sha = Sha256Ops(b)
+    stream = [b.constant(c) for c in len(validator_rows).to_bytes(4, "little")]
+    for row in validator_rows:
+        stream += row
+    msg_len = len(stream)
+    pad = bytearray([0x80])
+    while (msg_len + len(pad)) % 64 != 56:
+        pad.append(0)
+    pad += (msg_len * 8).to_bytes(8, "big")
+    stream += [b.constant(c) for c in pad]
+    words = []
+    for i in range(0, len(stream), 4):
+        acc = b.zero()
+        for t in stream[i: i + 4]:
+            acc = b.arithmetic(256, 1, acc, b.one(), t)
+        words.append(acc)
+    digest = sha.hash_sha256(
+        HashInputTarget(BigUintTarget(limbs=words), len(words) * 32))
+    out = []
+    for limb in digest.limbs:
+        bits = b.split_le(limb, 32)
+        for k in range(4):                      # digest bytes are BE words
+            lo_bit = 8 * (3 - k)
+            out.append(b.le_sum(bits[lo_bit: lo_bit + 8]))
+    return out
+
+
 def build_keys_stakes_circuit(validator_lens: tuple, valid_indices: tuple,
-                              config: CircuitConfig | None = None):
-    """Returns (ProverData, (valid_keys_targets, validators_targets)).
+                              config: CircuitConfig | None = None,
+                              bind_bp_hash: bool = True):
+    """Returns (ProverData, (valid_keys_targets, validators_targets,
+    bp_digest_targets | None)).
 
     Cached per (validator borsh lengths, claimed index set) shape — the same
     per-instance specialization the reference applies."""
@@ -102,18 +149,23 @@ def build_keys_stakes_circuit(validator_lens: tuple, valid_indices: tuple,
     # (d) two-thirds
     _two_thirds_limbs(b, u, valid_sum, total_sum)
 
+    # (e) bp_hash digest of the very same validator bytes
+    bp_digest = _bp_hash_digest(b, validators) if bind_bp_hash else None
+
     b.register_public_inputs(valid_keys)
     for row in validators:
         b.register_public_inputs(row)
+    if bp_digest is not None:
+        b.register_public_inputs(bp_digest)
     data = b.build()
-    return data, (valid_keys, validators)
+    return data, (valid_keys, validators, bp_digest)
 
 
 def prove_valid_keys_stakes_in_validators_list(valid_keys: bytes,
                                                validators: list[bytes]):
     """Reference-shaped API (keys_stakes.rs:18): returns (data, proof)."""
     indices = tuple(valid_keys[i] for i in range(0, len(valid_keys), 33))
-    data, (vk_t, val_t) = build_keys_stakes_circuit(
+    data, (vk_t, val_t, _bp) = build_keys_stakes_circuit(
         tuple(len(v) for v in validators), indices)
     inputs: dict = {}
     for t, v in zip(vk_t, valid_keys):
