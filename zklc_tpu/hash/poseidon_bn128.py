@@ -107,3 +107,36 @@ def fr_to_hash_bytes(fr: int) -> bytes:
     """PoseidonBN128HashOut serialization: 32-byte little-endian Fr
     (config.rs:31-69)."""
     return fr.to_bytes(32, "little")
+
+
+# ---------------------------------------------------------------------------
+# Commitment-side helpers mirroring gnark's BN254Chip (poseidon/bn254.go):
+# the wrapped (outer) transcript hashes Merkle nodes in BN254-Fr.
+# ---------------------------------------------------------------------------
+
+def hash_or_noop_bn128(inputs) -> int:
+    """bn254.go:79 HashOrNoop: <= 3 GL elements pack base-2^64 into one Fr
+    with NO permutation; otherwise HashNoPad."""
+    vals = [int(x) % GL_P for x in np.asarray(inputs, dtype=np.uint64)]
+    if len(vals) <= GOLDILOCKS_ELEMENTS:
+        acc = 0
+        for k, v in enumerate(vals):
+            acc += v << (64 * k)
+        return acc % FR
+    return hash_no_pad_bn128(inputs)
+
+
+def two_to_one_bn128(left: int, right: int) -> int:
+    """bn254.go:96 TwoToOne: squeeze state[0] of permute([0, 0, L, R])."""
+    return permute_bn128([0, 0, int(left), int(right)])[0]
+
+
+def fr_to_vec(fr: int) -> list[int]:
+    """bn254.go:106 ToVec: split the Fr element into 56-bit little-endian
+    chunks (5 GL-safe elements) for Fiat-Shamir observation."""
+    out = []
+    v = int(fr)
+    for _ in range(5):          # ceil(254 / 56)
+        out.append(v & ((1 << 56) - 1))
+        v >>= 56
+    return out
