@@ -29,3 +29,43 @@ def test_hash_no_pad_packing():
     assert out == exp
     assert len(fr_to_hash_bytes(out)) == 32
     assert int.from_bytes(fr_to_hash_bytes(out), "little") == out
+
+
+def test_native_bn128_kernels_match_python():
+    """Native C++ BN254-Fr Poseidon (native/zklc_native.cpp bn128_*) is
+    bit-exact vs the Python KAT-checked implementation."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from zklc_tpu import native
+    from zklc_tpu.hash import poseidon_bn128 as pb
+
+    if not native.available:
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(1234)
+    P = (1 << 64) - (1 << 32) + 1
+
+    states = [[rng.randrange(FR) for _ in range(4)] for _ in range(4)]
+    arr = np.array([[native.fr_int_to_limbs(x) for x in st] for st in states],
+                   dtype=np.uint64)
+    out = native.bn128_permute_batch(arr)
+    for k, st in enumerate(states):
+        assert [native.fr_limbs_to_int(out[k, i]) for i in range(4)] == \
+            permute_bn128(list(st))
+
+    for row_len in (2, 3, 4, 9, 12):
+        rows = [[rng.randrange(P) for _ in range(row_len)] for _ in range(3)]
+        out = native.bn128_hash_leaves(np.array(rows, dtype=np.uint64))
+        for k, row in enumerate(rows):
+            assert native.fr_limbs_to_int(out[k]) == pb.hash_or_noop_bn128(row)
+
+    digests = [rng.randrange(FR) for _ in range(8)]
+    arr = np.array([native.fr_int_to_limbs(x) for x in digests],
+                   dtype=np.uint64)
+    out = native.bn128_merkle_level(arr)
+    for k in range(4):
+        assert native.fr_limbs_to_int(out[k]) == \
+            pb.two_to_one_bn128(digests[2 * k], digests[2 * k + 1])

@@ -23,6 +23,9 @@ def _build() -> bool:
     try:
         subprocess.run([sys.executable, os.path.join(HERE, "gen_constants.py")],
                        check=True, capture_output=True)
+        subprocess.run([sys.executable,
+                        os.path.join(HERE, "gen_bn128_constants.py")],
+                       check=True, capture_output=True)
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              "-fopenmp",
@@ -63,6 +66,9 @@ def _load():
         ("poseidon_hash_no_pad", [u64p, i64, u64p]),
         ("poseidon_hash_leaves", [u64p, i64, i64, u64p]),
         ("poseidon_merkle_level", [u64p, u64p, i64]),
+        ("bn128_permute_batch", [u64p, i64]),
+        ("bn128_hash_leaves", [u64p, i64, i64, u64p]),
+        ("bn128_merkle_level", [u64p, u64p, i64]),
     ]:
         fn = getattr(lib, name)
         fn.argtypes = args
@@ -172,3 +178,44 @@ def poseidon_merkle_level(digests: np.ndarray) -> np.ndarray:
     out = np.empty((m, 4), dtype=np.uint64)
     _lib.poseidon_merkle_level(_ptr(digests), _ptr(out), m)
     return out
+
+
+# -- BN254-Fr Poseidon (wrap transcript) -------------------------------------
+
+def bn128_permute_batch(states: np.ndarray) -> np.ndarray:
+    """states (n, 4, 4) or (4, 4) u64 LE Fr limbs -> permuted, in place
+    semantics on a copy."""
+    st = _c64(states).copy()
+    flat = st.reshape(-1, 16)
+    _lib.bn128_permute_batch(_ptr(flat), flat.shape[0])
+    return flat.reshape(st.shape)
+
+
+def bn128_hash_leaves(rows: np.ndarray) -> np.ndarray:
+    """rows (n, L) u64 GL values -> (n, 4) Fr limbs (HashOrNoop)."""
+    rows = _c64(rows)
+    n, row_len = rows.shape
+    out = np.empty((n, 4), dtype=np.uint64)
+    _lib.bn128_hash_leaves(_ptr(rows), n, row_len, _ptr(out))
+    return out
+
+
+def bn128_merkle_level(digests: np.ndarray) -> np.ndarray:
+    """digests (n, 4) Fr limbs -> (n/2, 4) parent digests."""
+    digests = _c64(digests)
+    m = digests.shape[0] // 2
+    out = np.empty((m, 4), dtype=np.uint64)
+    _lib.bn128_merkle_level(_ptr(digests), _ptr(out), m)
+    return out
+
+
+def fr_limbs_to_int(limbs: np.ndarray) -> int:
+    v = 0
+    for i in range(4):
+        v |= int(limbs[i]) << (64 * i)
+    return v
+
+
+def fr_int_to_limbs(v: int) -> np.ndarray:
+    return np.array([(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)],
+                    dtype=np.uint64)

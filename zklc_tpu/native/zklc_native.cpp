@@ -734,3 +734,198 @@ extern "C" i64 wit_execute(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BN254-Fr Poseidon (the wrap-proof transcript hasher): Montgomery 4x64
+// arithmetic + the iden3 permutation, mirroring
+// zklc_tpu/hash/poseidon_bn128.py (itself bit-exact vs
+// crypto/plonky2_bn128/src/poseidon_bn128.rs:18).  Batched leaf hashing and
+// Merkle levels make the BN128-transcript prover's commitment phase native.
+// ---------------------------------------------------------------------------
+#include "bn128_constants.inc"
+
+struct Fr { u64 l[4]; };
+
+static inline Fr fr_load(const u64* p) { Fr r; for (int i = 0; i < 4; i++) r.l[i] = p[i]; return r; }
+static inline void fr_store(u64* p, const Fr& a) { for (int i = 0; i < 4; i++) p[i] = a.l[i]; }
+
+static inline bool fr_geq_p(const Fr& a) {
+  for (int i = 3; i >= 0; i--) {
+    if (a.l[i] > FR_P[i]) return true;
+    if (a.l[i] < FR_P[i]) return false;
+  }
+  return true;  // equal
+}
+
+static inline void fr_sub_p(Fr& a) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)a.l[i] - FR_P[i] - (u64)borrow;
+    a.l[i] = (u64)d;
+    borrow = (d >> 64) ? 1 : 0;
+  }
+}
+
+static inline Fr fr_add(const Fr& a, const Fr& b) {
+  Fr r; u128 carry = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 s = (u128)a.l[i] + b.l[i] + (u64)carry;
+    r.l[i] = (u64)s;
+    carry = s >> 64;
+  }
+  if (carry || fr_geq_p(r)) fr_sub_p(r);
+  return r;
+}
+
+// CIOS Montgomery multiplication (R = 2^256).
+static inline Fr fr_mont_mul(const Fr& a, const Fr& b) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; i++) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; j++) {
+      u128 cur = (u128)t[j] + (u128)a.l[i] * b.l[j] + (u64)carry;
+      t[j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    u128 cur = (u128)t[4] + (u64)carry;
+    t[4] = (u64)cur;
+    t[5] = (u64)(cur >> 64);
+    u64 m = t[0] * FR_N0INV;
+    carry = ((u128)t[0] + (u128)m * FR_P[0]) >> 64;
+    for (int j = 1; j < 4; j++) {
+      u128 c2 = (u128)t[j] + (u128)m * FR_P[j] + (u64)carry;
+      t[j - 1] = (u64)c2;
+      carry = c2 >> 64;
+    }
+    cur = (u128)t[4] + (u64)carry;
+    t[3] = (u64)cur;
+    t[4] = t[5] + (u64)(cur >> 64);
+  }
+  Fr r = {{t[0], t[1], t[2], t[3]}};
+  if (t[4] || fr_geq_p(r)) fr_sub_p(r);
+  return r;
+}
+
+static inline Fr fr_to_mont(const Fr& a) { return fr_mont_mul(a, fr_load(FR_R2)); }
+static inline Fr fr_from_mont(const Fr& a) { Fr one = {{1, 0, 0, 0}}; return fr_mont_mul(a, one); }
+
+static inline Fr fr_exp5(const Fr& x) {
+  Fr x2 = fr_mont_mul(x, x);
+  Fr x4 = fr_mont_mul(x2, x2);
+  return fr_mont_mul(x4, x);
+}
+
+static inline void bn_ark(Fr st[4], int it) {
+  for (int i = 0; i < 4; i++) st[i] = fr_add(st[i], fr_load(BN_C[it + i]));
+}
+
+// out[i] = sum_j matrix[j][i] * st[j]; matrix given row-major (j*4 + i).
+static inline void bn_mix(Fr st[4], const u64 (*m)[4]) {
+  Fr out[4];
+  for (int i = 0; i < 4; i++) {
+    Fr acc = {{0, 0, 0, 0}};
+    for (int j = 0; j < 4; j++)
+      acc = fr_add(acc, fr_mont_mul(fr_load(m[j * 4 + i]), st[j]));
+    out[i] = acc;
+  }
+  for (int i = 0; i < 4; i++) st[i] = out[i];
+}
+
+// Montgomery-domain permutation (poseidon_bn128.py permute_bn128).
+static void bn128_permute(Fr st[4]) {
+  const int W = 4, FULL = 8, PARTIAL = 56;
+  bn_ark(st, 0);
+  for (int i = 0; i < FULL / 2 - 1; i++) {
+    for (int k = 0; k < W; k++) st[k] = fr_exp5(st[k]);
+    bn_ark(st, (i + 1) * W);
+    bn_mix(st, BN_M);
+  }
+  for (int k = 0; k < W; k++) st[k] = fr_exp5(st[k]);
+  bn_ark(st, (FULL / 2) * W);
+  bn_mix(st, BN_P);
+  for (int i = 0; i < PARTIAL; i++) {
+    Fr s0 = fr_exp5(st[0]);
+    s0 = fr_add(s0, fr_load(BN_C[(FULL / 2 + 1) * W + i]));
+    st[0] = s0;
+    int base = (W * 2 - 1) * i;
+    Fr new0 = {{0, 0, 0, 0}};
+    for (int j = 0; j < W; j++)
+      new0 = fr_add(new0, fr_mont_mul(fr_load(BN_S[base + j]), st[j]));
+    for (int k = 1; k < W; k++)
+      st[k] = fr_add(st[k], fr_mont_mul(st[0], fr_load(BN_S[base + W + k - 1])));
+    st[0] = new0;
+  }
+  for (int i = 0; i < FULL / 2 - 1; i++) {
+    for (int k = 0; k < W; k++) st[k] = fr_exp5(st[k]);
+    bn_ark(st, (FULL / 2 + 1) * W + PARTIAL + i * W);
+    bn_mix(st, BN_M);
+  }
+  for (int k = 0; k < W; k++) st[k] = fr_exp5(st[k]);
+  bn_mix(st, BN_M);
+}
+
+// Pack up to 3 Goldilocks u64s into one standard-form Fr (< 2^192 < p).
+static inline Fr fr_pack_gl(const u64* gl, int n) {
+  Fr r = {{0, 0, 0, 0}};
+  for (int k = 0; k < n && k < 3; k++) r.l[k] = gl[k];
+  return r;
+}
+
+extern "C" {
+
+// Standard-form Fr state (4x4 u64 LE limbs) -> permuted, standard form.
+void bn128_permute_batch(u64* states, i64 n) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (i64 r = 0; r < n; r++) {
+    Fr st[4];
+    for (int i = 0; i < 4; i++) st[i] = fr_to_mont(fr_load(states + r * 16 + i * 4));
+    bn128_permute(st);
+    for (int i = 0; i < 4; i++) fr_store(states + r * 16 + i * 4, fr_from_mont(st[i]));
+  }
+}
+
+// leaves (n, L) u64 GL values -> out (n, 4) Fr limbs (HashOrNoop semantics:
+// L <= 3 packs base-2^64 without permuting; else sponge, 9 GL per permute).
+void bn128_hash_leaves(const u64* leaves, i64 n, i64 L, u64* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (i64 r = 0; r < n; r++) {
+    const u64* row = leaves + r * L;
+    if (L <= 3) {
+      fr_store(out + r * 4, fr_pack_gl(row, (int)L));
+      continue;
+    }
+    Fr st[4] = {{{0, 0, 0, 0}}, {{0, 0, 0, 0}}, {{0, 0, 0, 0}}, {{0, 0, 0, 0}}};
+    for (i64 start = 0; start < L; start += 9) {
+      for (int lane = 0; lane < 3; lane++) {
+        i64 off = start + lane * 3;
+        if (off >= L) break;
+        int cnt = (int)((L - off) < 3 ? (L - off) : 3);
+        st[1 + lane] = fr_to_mont(fr_pack_gl(row + off, cnt));
+      }
+      bn128_permute(st);
+    }
+    fr_store(out + r * 4, fr_from_mont(st[0]));
+  }
+}
+
+// digests (n, 4) standard-form Fr -> parents (n/2, 4): permute([0,0,L,R])[0].
+void bn128_merkle_level(const u64* digests, u64* out, i64 n_parents) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (i64 r = 0; r < n_parents; r++) {
+    Fr st[4];
+    st[0] = Fr{{0, 0, 0, 0}};
+    st[1] = Fr{{0, 0, 0, 0}};
+    st[2] = fr_to_mont(fr_load(digests + (2 * r) * 4));
+    st[3] = fr_to_mont(fr_load(digests + (2 * r + 1) * 4));
+    bn128_permute(st);
+    fr_store(out + r * 4, fr_from_mont(st[0]));
+  }
+}
+
+}  // extern "C"
