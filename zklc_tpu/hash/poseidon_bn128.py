@@ -140,3 +140,61 @@ def fr_to_vec(fr: int) -> list[int]:
         out.append(v & ((1 << 56) - 1))
         v >>= 56
     return out
+
+
+# ---------------------------------------------------------------------------
+# Prover-side transcript + Merkle builders for the BN128 wrap config.
+# ---------------------------------------------------------------------------
+
+from . import poseidon as _pos          # noqa: E402  (no import cycle: gl-only)
+
+
+class BN128Challenger(_pos.Challenger):
+    """The GL duplex sponge of the wrap transcript: identical to the inner
+    challenger except BN254-Fr digests (caps, circuit digest) are observed
+    through ToVec 56-bit chunks (challenger.go:42-146 + bn254.go:106)."""
+
+    def observe_fr(self, fr: int):
+        self.observe_elements(fr_to_vec(int(fr)))
+
+    def observe_cap(self, cap):
+        for h in cap:
+            self.observe_fr(int(h))
+
+
+def fr_limbs_to_int(limbs) -> int:
+    v = 0
+    for i in range(4):
+        v |= int(limbs[i]) << (64 * i)
+    return v
+
+
+def _int_to_fr_limbs(v: int) -> np.ndarray:
+    return np.array([(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)],
+                    dtype=np.uint64)
+
+
+def merkle_levels_bn128(leaves_u64: np.ndarray, cap_height: int) -> list:
+    """leaves (N, L) GL u64 -> [leaf Fr digests (N,4 limbs), ..., cap].
+
+    Uses the native C++ kernels when available (zklc_native.cpp
+    bn128_hash_leaves/bn128_merkle_level); pure-Python fallback otherwise."""
+    try:
+        from .. import native as _nat
+        if _nat.available:
+            levels = [_nat.bn128_hash_leaves(
+                np.ascontiguousarray(leaves_u64))]
+            while levels[-1].shape[0] > (1 << cap_height):
+                levels.append(_nat.bn128_merkle_level(levels[-1]))
+            return levels
+    except Exception:   # pragma: no cover
+        pass
+    digests = [hash_or_noop_bn128(row) for row in leaves_u64]
+    levels = [np.stack([_int_to_fr_limbs(d) for d in digests])]
+    while levels[-1].shape[0] > (1 << cap_height):
+        prev = levels[-1]
+        nxt = [_int_to_fr_limbs(two_to_one_bn128(
+            fr_limbs_to_int(prev[2 * i]), fr_limbs_to_int(prev[2 * i + 1])))
+            for i in range(prev.shape[0] // 2)]
+        levels.append(np.stack(nxt))
+    return levels

@@ -86,7 +86,7 @@ class PolynomialBatch:
     """
 
     def __init__(self, values_u64: np.ndarray, rate_bits: int, cap_height: int,
-                 values_are_coeffs: bool = False):
+                 values_are_coeffs: bool = False, hasher: str = "gl"):
         values_u64 = np.asarray(values_u64, dtype=np.uint64)
         num_polys, n = values_u64.shape
         log_n = (n - 1).bit_length()
@@ -94,6 +94,40 @@ class PolynomialBatch:
         self.rate_bits = rate_bits
         self.cap_height = cap_height
         self.log_n = log_n
+        self.hasher = hasher
+
+        if hasher == "bn128":
+            # Wrap-config commitment (PoseidonBN128GoldilocksConfig outer
+            # hash, crypto/plonky2_bn128/src/config.rs:21): LDE as usual,
+            # Merkle nodes in BN254-Fr via the native C++ kernels.
+            from ..hash import poseidon_bn128 as pb
+            if _use_host_path():
+                coeffs = values_u64 if values_are_coeffs else \
+                    host_intt(values_u64, log_n)
+                self.coeffs = coeffs
+                lde_log = log_n + rate_bits
+                padded = np.zeros((num_polys, 1 << lde_log), dtype=np.uint64)
+                padded[:, :n] = coeffs
+                lde_u64 = host_coset_ntt(padded, lde_log)
+            else:
+                dev_vals = gl.from_u64_np(values_u64)
+                coeffs_dev = dev_vals if values_are_coeffs else \
+                    ntt_ops.intt(dev_vals, log_n)
+                self.coeffs = gl.to_u64_np(coeffs_dev)
+                pad = n * ((1 << rate_bits) - 1)
+                zhi = jnp.zeros((num_polys, pad), jnp.uint32)
+                chi = jnp.concatenate([coeffs_dev[0], zhi], axis=-1)
+                clo = jnp.concatenate([coeffs_dev[1], zhi], axis=-1)
+                lde_u64 = gl.to_u64_np(
+                    ntt_ops.coset_ntt((chi, clo), log_n + rate_bits))
+            self._lde_u64 = lde_u64
+            self._lde_natural = None
+            rev = bit_rev_perm(log_n + rate_bits)
+            leaves = np.ascontiguousarray(lde_u64[:, rev].T)
+            self.leaves_u64 = leaves
+            self.levels_u64 = pb.merkle_levels_bn128(leaves, cap_height)
+            self.cap_u64 = self.levels_u64[-1]
+            return
 
         if _use_host_path():
             if values_are_coeffs:
@@ -153,13 +187,26 @@ class PolynomialBatch:
             self._lde_natural = gl.from_u64_np(self._lde_u64)
         return self._lde_natural
 
+    @property
+    def cap(self):
+        """Cap in transcript form: (m, 4) GL digests, or Fr ints (bn128)."""
+        if self.hasher == "bn128":
+            from ..hash.poseidon_bn128 import fr_limbs_to_int
+            return [fr_limbs_to_int(row) for row in self.cap_u64]
+        return self.cap_u64
+
     def merkle_proof(self, leaf_index: int):
-        """Returns (leaf_values (num_polys,), siblings (depth, 4))."""
+        """Returns (leaf_values (num_polys,), siblings): siblings are a
+        (depth, 4) GL digest array, or a list of Fr ints (bn128)."""
         sibs = []
         idx = leaf_index
         for level in self.levels_u64[:-1]:
             sibs.append(level[idx ^ 1])
             idx >>= 1
+        if self.hasher == "bn128":
+            from ..hash.poseidon_bn128 import fr_limbs_to_int
+            return self.leaves_u64[leaf_index], \
+                [fr_limbs_to_int(s) for s in sibs]
         return self.leaves_u64[leaf_index], np.array(sibs, dtype=np.uint64)
 
 
@@ -186,7 +233,7 @@ class ExtPolynomialBatch:
     """
 
     def __init__(self, values_bitrev_ext: np.ndarray, arity_bits: int,
-                 cap_height: int):
+                 cap_height: int, hasher: str = "gl"):
         v = np.asarray(values_bitrev_ext, dtype=np.uint64)
         m = v.shape[0]
         arity = 1 << arity_bits
@@ -194,7 +241,12 @@ class ExtPolynomialBatch:
         # leaf i = [v[i*arity+0].0, v[i*arity+0].1, v[i*arity+1].0, ...]
         leaves = v.reshape(num_leaves, arity * 2)
         self.leaves_u64 = leaves
-        if _use_host_path():
+        self.hasher = hasher
+        if hasher == "bn128":
+            from ..hash import poseidon_bn128 as pb
+            self.levels_u64 = pb.merkle_levels_bn128(
+                np.ascontiguousarray(leaves), cap_height)
+        elif _use_host_path():
             self.levels_u64 = host_merkle_levels(
                 np.ascontiguousarray(leaves), cap_height)
         else:
@@ -203,10 +255,21 @@ class ExtPolynomialBatch:
             self.levels_u64 = [gl.to_u64_np(lv) for lv in levels]
         self.cap_u64 = self.levels_u64[-1]
 
+    @property
+    def cap(self):
+        if self.hasher == "bn128":
+            from ..hash.poseidon_bn128 import fr_limbs_to_int
+            return [fr_limbs_to_int(row) for row in self.cap_u64]
+        return self.cap_u64
+
     def merkle_proof(self, leaf_index: int):
         sibs = []
         idx = leaf_index
         for level in self.levels_u64[:-1]:
             sibs.append(level[idx ^ 1])
             idx >>= 1
+        if self.hasher == "bn128":
+            from ..hash.poseidon_bn128 import fr_limbs_to_int
+            return self.leaves_u64[leaf_index], \
+                [fr_limbs_to_int(s) for s in sibs]
         return self.leaves_u64[leaf_index], np.array(sibs, dtype=np.uint64)

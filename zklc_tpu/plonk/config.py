@@ -64,10 +64,20 @@ class CircuitConfig:
     max_quotient_degree_factor: int = 8
     fri_config: FriConfig = field(default_factory=FriConfig)
     lookup: object = None        # plonk.lookup.LookupConfig | None
+    # transcript/Merkle hasher: "gl" (PoseidonGoldilocksConfig) or "bn128"
+    # (PoseidonBN128GoldilocksConfig outer hash, plonky2_bn128 config.rs:21)
+    hasher: str = "gl"
 
     @staticmethod
     def standard_recursion_config() -> "CircuitConfig":
         return CircuitConfig()
+
+    @staticmethod
+    def bn128_wrap_config() -> "CircuitConfig":
+        """The final-wrap config (used once, bin/prove_block.rs:279-300):
+        standard recursion parameters with the BN254-Fr outer transcript so
+        the gnark circuit verifies ~one native permutation per absorb."""
+        return CircuitConfig(hasher="bn128")
 
     @staticmethod
     def standard_ecc_config() -> "CircuitConfig":

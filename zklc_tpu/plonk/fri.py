@@ -106,6 +106,7 @@ def prove_fri(
     batch_points,            # [zeta, g*zeta] ext (2,) arrays
     challenger: pos.Challenger,
     fri_params,
+    hasher: str = "gl",
 ) -> FriProof:
     cfg = fri_params.config
     n = 1 << fri_params.degree_bits
@@ -137,10 +138,11 @@ def prove_fri(
     cur_log_n = fri_params.degree_bits
     values_bitrev = ext_lde_bitrev(cur, cur_log_n, cfg.rate_bits, shift)
     for arity_bits in fri_params.reduction_arity_bits:
-        tree = ExtPolynomialBatch(values_bitrev, arity_bits, cfg.cap_height)
+        tree = ExtPolynomialBatch(values_bitrev, arity_bits, cfg.cap_height,
+                                  hasher=hasher)
         commit_trees.append(tree)
-        caps.append(tree.cap_u64)
-        challenger.observe_cap(tree.cap_u64)
+        caps.append(tree.cap)
+        challenger.observe_cap(tree.cap)
         beta = np.array(challenger.get_extension_challenge(), dtype=np.uint64)
         betas.append(beta)
         cur = fold_coeffs(cur, beta, arity_bits)

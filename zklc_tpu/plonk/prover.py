@@ -39,13 +39,25 @@ def ensure_constants_sigmas_commitment(data: ProverData):
     fp = data.common.fri_params
     mat = np.concatenate([data.constants_rows, data.sigmas_rows], axis=1).T
     comm = PolynomialBatch(np.ascontiguousarray(mat), cfg.fri_config.rate_bits,
-                           cfg.fri_config.cap_height)
+                           cfg.fri_config.cap_height, hasher=cfg.hasher)
     data.constants_sigmas_commitment = comm
+    from .builder import VerifierOnlyData
+    if cfg.hasher == "bn128":
+        # Wrap config: digest = BN128 sponge over the Fr cap (ToVec chunks)
+        # + degree_bits; VerifierOnlyData carries Fr ints.
+        from ..hash import poseidon_bn128 as pb
+        cap_fr = comm.cap
+        digest_input = [c for h in cap_fr for c in pb.fr_to_vec(h)]
+        digest_input.append(data.common.degree_bits)
+        data.circuit_digest = pb.hash_no_pad_bn128(
+            np.array(digest_input, dtype=np.uint64))
+        data.verifier_only = VerifierOnlyData(
+            constants_sigmas_cap=cap_fr, circuit_digest=data.circuit_digest)
+        return
     digest_input = np.concatenate(
         [comm.cap_u64.ravel(),
          np.array([data.common.degree_bits], dtype=np.uint64)])
     data.circuit_digest = pos.hash_no_pad(digest_input)
-    from .builder import VerifierOnlyData
     data.verifier_only = VerifierOnlyData(
         constants_sigmas_cap=comm.cap_u64, circuit_digest=data.circuit_digest)
 
@@ -408,6 +420,7 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     import os as _os
     import jax as _jax
     if (_jax.default_backend() == "tpu"
+            and data.common.config.hasher == "gl"
             and _os.environ.get("ZKLC_TPU_PROVER", "1") != "0"):
         from . import prover_tpu
         if data.common.lookup is None or prover_tpu.LOOKUP_READY:
@@ -434,13 +447,19 @@ def prove(data: ProverData, inputs: dict) -> Proof:
                                                data.constants_rows)
         wires = np.concatenate([wires, m_cols], axis=1)
     wires_comm = PolynomialBatch(np.ascontiguousarray(wires.T),
-                                 fc.rate_bits, fc.cap_height)
+                                 fc.rate_bits, fc.cap_height,
+                                 hasher=cfg.hasher)
 
     # 2. transcript: betas/gammas (+ lookup deltas)
-    ch = pos.Challenger()
-    ch.observe_hash(data.circuit_digest)
+    if cfg.hasher == "bn128":
+        from ..hash.poseidon_bn128 import BN128Challenger
+        ch = BN128Challenger()
+        ch.observe_fr(data.circuit_digest)
+    else:
+        ch = pos.Challenger()
+        ch.observe_hash(data.circuit_digest)
     ch.observe_hash(pi_hash)
-    ch.observe_cap(wires_comm.cap_u64)
+    ch.observe_cap(wires_comm.cap)
     betas = ch.get_n_challenges(cfg.num_challenges)
     gammas = ch.get_n_challenges(cfg.num_challenges)
     deltas = ch.get_n_challenges(cfg.num_challenges) \
@@ -454,8 +473,9 @@ def prove(data: ProverData, inputs: dict) -> Proof:
             common.lookup, wires, data.constants_rows, deltas,
             cfg.num_wires)
         zs_pp = np.concatenate([zs_pp, lk_cols], axis=0)
-    zs_pp_comm = PolynomialBatch(zs_pp, fc.rate_bits, fc.cap_height)
-    ch.observe_cap(zs_pp_comm.cap_u64)
+    zs_pp_comm = PolynomialBatch(zs_pp, fc.rate_bits, fc.cap_height,
+                                 hasher=cfg.hasher)
+    ch.observe_cap(zs_pp_comm.cap)
     alphas = ch.get_n_challenges(cfg.num_challenges)
 
     # 4. quotient. Device path (gate evals via DeviceBase under jit) is the
@@ -494,8 +514,9 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     quotient_mat = chunks.reshape(cfg.num_challenges * (1 << fc.rate_bits), n)
     quotient_comm = PolynomialBatch(np.ascontiguousarray(quotient_mat),
                                     fc.rate_bits, fc.cap_height,
-                                    values_are_coeffs=True)
-    ch.observe_cap(quotient_comm.cap_u64)
+                                    values_are_coeffs=True,
+                                    hasher=cfg.hasher)
+    ch.observe_cap(quotient_comm.cap)
     zeta = np.array(ch.get_extension_challenge(), dtype=np.uint64)
 
     # 5. openings
@@ -545,12 +566,13 @@ def prove(data: ProverData, inputs: dict) -> Proof:
         batch_points=[zeta, zeta_next],
         challenger=ch,
         fri_params=fp,
+        hasher=cfg.hasher,
     )
 
     return Proof(
-        wires_cap=wires_comm.cap_u64,
-        plonk_zs_partial_products_cap=zs_pp_comm.cap_u64,
-        quotient_polys_cap=quotient_comm.cap_u64,
+        wires_cap=wires_comm.cap,
+        plonk_zs_partial_products_cap=zs_pp_comm.cap,
+        quotient_polys_cap=quotient_comm.cap,
         openings=openings,
         opening_proof=fri_proof,
         public_inputs=public_inputs,
