@@ -30,10 +30,14 @@ def prove_block(epoch_id_i: str, epoch_id_i_1: str, epoch_id_i_2: str,
         validators = U.load_validators(
             os.path.join(U.epoch_dir(epoch_id_i, data_dir),
                          "validators.json"))
+        validators_n_1 = U.load_validators(
+            os.path.join(U.epoch_dir(epoch_id_i_1, data_dir),
+                         "validators.json"))
     orch = Orchestrator(proofs_dir=proofs_dir, dev_mode=dev_mode)
     with timing.scope("prove_block_bft"):
-        row = orch.generate_proof(epoch_blocks, blocks[:5], validators,
-                                  mode="epoch")
+        row = orch.generate_proof(epoch_blocks, blocks, validators,
+                                  mode="epoch",
+                                  validators_n_1=validators_n_1)
     timing.print()
     return row
 

@@ -160,13 +160,10 @@ def prove_signature_dev(message: bytes, sig: bytes, pk: bytes):
     return data, proof
 
 
-def _fold_pair(left, right):
-    """Aggregate two (data, proof) pairs into one (cache per shape pair)."""
+def _fold_circuit(dl, dr):
+    """The two-proof aggregation circuit for a shape pair (cached)."""
     from ..plonk import prover
-    from ..plonk.recursion import (RecursiveVerifier,
-                                   recursive_aggregate_circuit)
-    dl, pl = left
-    dr, pr = right
+    from ..plonk.recursion import recursive_aggregate_circuit
     prover.ensure_constants_sigmas_commitment(dl)
     prover.ensure_constants_sigmas_commitment(dr)
     key = (id(dl), id(dr))
@@ -174,23 +171,43 @@ def _fold_pair(left, right):
         rb, pts = recursive_aggregate_circuit(
             [(dl.common, dl.verifier_only), (dr.common, dr.verifier_only)])
         _agg_circuit_cache[key] = (rb.build(), pts)
-    rdata, pts = _agg_circuit_cache[key]
+    return _agg_circuit_cache[key]
+
+
+def _fold_pair(left, right):
+    """Aggregate two (data, proof) pairs into one (cache per shape pair)."""
+    from ..plonk import prover
+    from ..plonk.recursion import RecursiveVerifier
+    dl, pl = left
+    dr, pr = right
+    rdata, pts = _fold_circuit(dl, dr)
     inputs: dict = {}
     RecursiveVerifier.set_proof_targets(pts[0], pl, inputs)
     RecursiveVerifier.set_proof_targets(pts[1], pr, inputs)
     return rdata, prover.prove(rdata, inputs)
 
 
-def fold_proof_tree(leaves: list):
+def fold_proof_tree(leaves: list, devices=None):
     """Balanced binary reduction over (data, proof) pairs.  Arrival-order
     insensitive like the reference's fold (SURVEY.md §2.7), log depth.
-    Each tree LEVEL is embarrassingly parallel — the per-level proves are
-    independent device programs (sharded over chips in the scaled path)."""
+    Each tree LEVEL is embarrassingly parallel: with >1 chip the per-level
+    proves are dispatched round-robin across devices
+    (parallel.sharded.prove_level_parallel — the mesh-native replacement of
+    the reference's NATS per-signature workers, signatures.rs:144-274)."""
+    import jax
+    from ..parallel.sharded import prove_level_parallel
+    devices = devices if devices is not None else jax.devices()
     level = list(leaves)
     while len(level) > 1:
-        nxt = []
-        for i in range(0, len(level) - 1, 2):
-            nxt.append(_fold_pair(level[i], level[i + 1]))
+        pairs = [(level[i], level[i + 1])
+                 for i in range(0, len(level) - 1, 2)]
+        # prime the per-shape aggregation circuit caches sequentially
+        # (circuit build is not thread-safe; proves are)
+        for left, right in pairs:
+            _fold_circuit(left[0], right[0])
+        jobs = [
+            (lambda lr=pair: _fold_pair(*lr)) for pair in pairs]
+        nxt = prove_level_parallel(jobs, devices=devices)
         if len(level) % 2:
             nxt.append(level[-1])
         level = nxt

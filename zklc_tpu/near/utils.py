@@ -92,7 +92,8 @@ def set_blocks(epoch_id_i: str, epoch_id_i_1: str, epoch_id_i_2: str,
     blocks = [load_epoch_block(epoch_id_i, f"{prefix}-{4 - i}", data_dir)
               for i in range(5)]
     if epoch_id_i_3 is not None:
-        blocks.append(load_epoch_block(epoch_id_i_2, "block-last", data_dir))
+        # the sixth block is Block_n-1(E_i-1) — utils.rs:415-420
+        blocks.append(load_epoch_block(epoch_id_i_1, "block-last", data_dir))
     return epoch_blocks, blocks
 
 

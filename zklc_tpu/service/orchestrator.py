@@ -70,10 +70,19 @@ class Orchestrator:
 
     # -- proof.controller.ts:8 generateProof -------------------------------
     def generate_proof(self, epoch_blocks, blocks, validators,
-                       mode: str = "random") -> dict:
+                       mode: str = "random", validators_n_1=None,
+                       wrap: bool | None = None) -> dict:
+        """Prove + (optionally) BN128-wrap + write artifacts.
+
+        wrap=None defaults to the real-prover path (prove_block.rs:279-300
+        wraps every final proof); dev_mode skips the wrap by default.
+        Epoch mode writes artifacts for BOTH target blocks (Block_0(E_i)
+        and Block_n-1(E_i-1)) and returns the Block_0 row."""
         from ..near import bft
         from ..near.types import b58encode
         from ..plonk.serialization import write_proof_artifacts
+        if wrap is None:
+            wrap = not self.dev_mode
         block_hash = b58encode(blocks[4].hash)
         existing = self.store.get(block_hash)
         if existing and existing.get("status") == ProofStatus.DONE:
@@ -82,14 +91,25 @@ class Orchestrator:
                        height=blocks[4].height)
         try:
             res = bft.prove_block_bft(epoch_blocks, blocks, validators,
-                                      dev_mode=self.dev_mode, mode=mode)
-            out_dir = os.path.join(self.proofs_dir, mode, block_hash)
-            write_proof_artifacts(out_dir, res.proof, res.data,
-                                  blocks[4].hash)
+                                      dev_mode=self.dev_mode, mode=mode,
+                                      validators_n_1=validators_n_1)
+            results = list(res) if isinstance(res, tuple) else [res]
+            targets = [blocks[4]] + ([blocks[5]] if len(results) > 1 else [])
+            out_dirs = []
+            for tgt, r in zip(targets, results):
+                data, proof = r.data, r.proof
+                if wrap:
+                    from ..wrap.wrap import wrap_proof
+                    data, proof = wrap_proof(data, proof)
+                d = os.path.join(self.proofs_dir, mode, b58encode(tgt.hash))
+                write_proof_artifacts(d, proof, data, tgt.hash)
+                out_dirs.append(d)
             if self.submit_fn is not None:
-                self.submit_fn(res.public_inputs, out_dir)
+                self.submit_fn(results[0].public_inputs, out_dirs[0])
             self.store.set(block_hash, status=ProofStatus.DONE,
-                           artifacts=out_dir)
+                           artifacts=out_dirs[0],
+                           artifacts_n_1=out_dirs[1] if len(out_dirs) > 1
+                           else None)
         except Exception as e:
             self.store.set(block_hash, status=ProofStatus.ERROR,
                            error=str(e)[:500])
