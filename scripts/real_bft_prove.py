@@ -1,0 +1,113 @@
+"""REAL end-to-end five-block BFT finality proof on the TPU.
+
+The full pipeline of near_bft_finality/src/bin/prove_block.rs:188-458 with
+no dev-mode anywhere: real EdDSA batch leaves (TPU prover), the fold tree,
+real header-hash proofs, keys&stakes with the bp_hash binding, the linking
+aggregation, the BN128-transcript wrap, artifact writing, and verification
+of every stage (CPU verifier for the GL proofs, the in-repo gnark oracle
+for the wrap).
+
+Usage:
+  python scripts/real_bft_prove.py [--mode random|epoch] [--out DIR]
+
+Phase timings print via TimingTree; a JSON timing summary is written next
+to the artifacts.  First run on a fresh machine compiles every kernel shape
+through the XLA cache (~1-2 h); warm-cache runs are minutes.
+"""
+import argparse
+import json
+import os
+import os.path as p
+import sys
+import time
+
+sys.path.insert(0, p.dirname(p.dirname(p.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="random", choices=["random", "epoch"])
+    ap.add_argument("--out", default="proofs")
+    ap.add_argument("--data-dir", default="/root/reference/data")
+    args = ap.parse_args()
+
+    os.environ.setdefault("ZKLC_TIMING", "1")
+    import jax
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
+          flush=True)
+
+    from zklc_tpu.near import utils as U, bft, signatures as S
+    from zklc_tpu.plonk import verifier, serialization as SER
+    from zklc_tpu.wrap.wrap import wrap_proof
+    from zklc_tpu.wrap.gnark_oracle import verify_artifacts
+    from zklc_tpu.near.types import b58encode
+
+    eps = U.ordered_epochs(args.data_dir)
+    timings = {}
+    t_total = time.time()
+
+    if args.mode == "random":
+        epoch_blocks, blocks = U.set_blocks(eps[-1], eps[-2], eps[-3],
+                                            data_dir=args.data_dir)
+        validators = U.load_validators(
+            p.join(U.epoch_dir(eps[-1], args.data_dir), "validators.json"))
+        vn1 = None
+    else:
+        epoch_blocks, blocks = U.set_blocks(eps[-1], eps[-2], eps[-3],
+                                            eps[-4], data_dir=args.data_dir)
+        validators = U.load_validators(
+            p.join(U.epoch_dir(eps[-1], args.data_dir), "validators.json"))
+        vn1 = U.load_validators(
+            p.join(U.epoch_dir(eps[-2], args.data_dir), "validators.json"))
+
+    msg = S.generate_signed_message(blocks[4].height, blocks[3].height,
+                                    blocks[4].hash)
+    chk = S.check_approvals(msg, blocks[3].approvals, validators)
+    print(f"block {b58encode(blocks[4].hash)} height {blocks[4].height}: "
+          f"{len(chk.valid_indices)} valid approvals / {len(validators)} "
+          f"validators, stake {chk.valid_stake}/{chk.total_stake}",
+          flush=True)
+
+    t0 = time.time()
+    res = bft.prove_block_bft(epoch_blocks, blocks, validators,
+                              dev_mode=False, check_only=False,
+                              mode=args.mode, validators_n_1=vn1)
+    timings["prove_block_bft_s"] = round(time.time() - t0, 2)
+    results = list(res) if isinstance(res, tuple) else [res]
+    targets = [blocks[4]] + ([blocks[5]] if len(results) > 1 else [])
+
+    for tgt, r in zip(targets, results):
+        name = b58encode(tgt.hash)
+        t0 = time.time()
+        verifier.verify(r.proof, r.data.verifier_only, r.data.common)
+        timings[f"verify_{name}_s"] = round(time.time() - t0, 2)
+        expect_tag = bft.TAG_EPOCH if args.mode == "epoch" else bft.TAG_RANDOM
+        assert r.public_inputs[0] == expect_tag
+        assert bytes(r.public_inputs[1:33]) == tgt.hash
+        print(f"aggregation proof for {name} VERIFIED "
+              f"(degree 2^{r.data.common.degree_bits})", flush=True)
+
+        t0 = time.time()
+        wdata, wproof = wrap_proof(r.data, r.proof)
+        timings[f"wrap_{name}_s"] = round(time.time() - t0, 2)
+        out_dir = p.join(args.out, args.mode, name)
+        SER.write_proof_artifacts(out_dir, wproof, wdata, tgt.hash)
+        t0 = time.time()
+        assert verify_artifacts(out_dir)
+        timings[f"oracle_{name}_s"] = round(time.time() - t0, 2)
+        print(f"BN128 wrap proof for {name} accepted by the gnark oracle; "
+              f"artifacts at {out_dir}", flush=True)
+
+    timings["total_s"] = round(time.time() - t_total, 2)
+    timings["valid_signatures"] = len(chk.valid_indices)
+    timings["mode"] = args.mode
+    with open(p.join(args.out, f"real_bft_timings_{args.mode}.json"),
+              "w") as f:
+        json.dump(timings, f, indent=1)
+    print(json.dumps(timings), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Randomized fuzz harness over the reference's libfuzzer target surfaces.
+
+Mirrors near_bft_finality/fuzz/ (10 targets, e.g. fuzz/prove_crypto/
+ed25519_proof.rs:8-23): feed random corpora through full prove+verify (or
+witness+constraint-check for the heavy circuits) and through the byte-level
+primitives, asserting accept-on-valid / reject-on-invalid.
+
+Iteration counts are bounded for CI (ZKLC_FUZZ_ITERS env scales them up for
+long soak runs: `ZKLC_FUZZ_ITERS=100 pytest tests/fuzz -q`).
+"""
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+import zklc_tpu.near.primitives as PR
+import zklc_tpu.near.prove_crypto as PC
+from zklc_tpu.near.signatures import generate_signed_message
+from zklc_tpu.plonk import prover, verifier
+from zklc_tpu.plonk.witness import WitnessConflict
+
+ITERS = int(os.environ.get("ZKLC_FUZZ_ITERS", "3"))
+rng = np.random.default_rng(0xF422)
+
+
+def _rand_bytes(n):
+    return bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+
+
+# -- fuzz/prove_crypto/sha256_proof.rs ---------------------------------------
+
+def test_fuzz_sha256_proof():
+    for _ in range(ITERS):
+        msg = _rand_bytes(int(rng.integers(1, 120)))
+        proof, data = PC.sha256_proof_u32(msg)
+        verifier.verify(proof, data.verifier_only, data.common)
+        assert PC.digest_from_proof(proof) == hashlib.sha256(msg).digest()
+
+
+# -- fuzz/prove_block_data/{two_thirds,eq_array,consecutive_heights}.rs ------
+
+def test_fuzz_two_thirds():
+    for _ in range(ITERS * 4):
+        v1 = int(rng.integers(0, 2**63))
+        v2 = int(rng.integers(0, 2**63))
+        b1, b2 = v1.to_bytes(16, "little"), v2.to_bytes(16, "little")
+        if 3 * v1 >= 2 * v2:
+            data, proof = PR.two_thirds(b1, b2)
+            verifier.verify(proof, data.verifier_only, data.common)
+        else:
+            with pytest.raises((WitnessConflict, AssertionError, ValueError)):
+                PR.two_thirds(b1, b2)
+
+
+def test_fuzz_eq_array():
+    for _ in range(ITERS * 4):
+        a = _rand_bytes(32)
+        data, proof = PR.prove_eq_array(a, a)
+        verifier.verify(proof, data.verifier_only, data.common)
+        b = bytearray(a)
+        b[int(rng.integers(0, 32))] ^= int(rng.integers(1, 256))
+        with pytest.raises((WitnessConflict, AssertionError, ValueError)):
+            PR.prove_eq_array(a, bytes(b))
+
+
+def test_fuzz_consecutive_heights():
+    for _ in range(ITERS * 4):
+        h2 = int(rng.integers(0, 2**62))
+        h1 = h2 + 1
+        data, proof = PR.prove_consecutive_heights(
+            h1.to_bytes(8, "little"), h2.to_bytes(8, "little"))
+        verifier.verify(proof, data.verifier_only, data.common)
+        delta = int(rng.integers(2, 1000))
+        with pytest.raises((WitnessConflict, AssertionError, ValueError)):
+            PR.prove_consecutive_heights(
+                (h2 + delta).to_bytes(8, "little"), h2.to_bytes(8, "little"))
+
+
+# -- fuzz/prove_crypto/recursive_proof.rs -------------------------------------
+
+def test_fuzz_recursive_proof():
+    from zklc_tpu.plonk.recursion import (RecursiveVerifier,
+                                          recursive_proof_circuit)
+    for _ in range(max(1, ITERS // 3)):
+        msg = _rand_bytes(int(rng.integers(1, 60)))
+        proof, data = PC.sha256_proof_u32(msg)
+        prover.ensure_constants_sigmas_commitment(data)
+        rb, pt = recursive_proof_circuit(data.common, data.verifier_only)
+        rdata = rb.build()
+        inputs = {}
+        RecursiveVerifier.set_proof_targets(pt, proof, inputs)
+        rproof = prover.prove(rdata, inputs)
+        verifier.verify(rproof, rdata.verifier_only, rdata.common)
+        assert list(rproof.public_inputs) == list(proof.public_inputs)
+
+
+# -- fuzz/prove_crypto/{ed25519_proof,...}.rs ---------------------------------
+
+def test_fuzz_eddsa_fill_constraints():
+    """Random messages signed with random keys: the EdDSA leaf circuit's
+    witness fills + constraints must accept genuine signatures and reject a
+    flipped signature byte (constraint-check level — the full FRI prove of
+    the 2^16 leaf is the TPU path)."""
+    from zklc_tpu.gadgets import ed25519_native as ed
+    from zklc_tpu.near.signatures import get_ed25519_circuit
+    from zklc_tpu.gadgets.eddsa import EddsaOps
+    from zklc_tpu.plonk.witness import generate_witness
+    from zklc_tpu.plonk.testing import check_constraints
+
+    msg_len = 41
+    data, ops, tgs = get_ed25519_circuit(msg_len, 1)
+    for _ in range(max(1, ITERS // 3)):
+        seed = _rand_bytes(32)
+        _, pk = ed.keypair_from_seed(seed)
+        msg = generate_signed_message(
+            int(rng.integers(1, 2**40)), int(rng.integers(1, 2**40)),
+            _rand_bytes(32))[:msg_len].ljust(msg_len, b"\0")
+        sig = ed.sign_message(msg, seed)
+        inputs = {}
+        EddsaOps.fill_eddsa(tgs[0], msg, sig, pk, inputs)
+        wr = generate_witness(data, inputs)
+        check_constraints(data, wr)
+        # flipped signature must be rejected
+        bad = bytearray(sig)
+        bad[int(rng.integers(0, 64))] ^= 1
+        inputs_bad = {}
+        with pytest.raises((WitnessConflict, AssertionError, ValueError)):
+            EddsaOps.fill_eddsa(tgs[0], msg, bytes(bad), pk, inputs_bad)
+            wr = generate_witness(data, inputs_bad)
+            check_constraints(data, wr)
