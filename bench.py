@@ -1,12 +1,18 @@
-"""Benchmark: Goldilocks 2^22 NTT on the real TPU chip (BASELINE.json
-north-star kernel).  Prints ONE JSON line.
+"""Benchmark on the real TPU chip — prints ONE JSON line.
 
-The reference has no published NTT number (SURVEY.md §6 — its plonky2 fork
-times NTTs inside TimingTree but publishes nothing), so vs_baseline is
-reported against a fixed reference point: 100 ms for a 2^22 NTT, a
-representative single-socket CPU (rayon, 16-core) figure for Goldilocks
-radix-2 NTT at this size.  vs_baseline > 1 means faster than that CPU
-reference.
+Primary metric (BASELINE.json north star #1): ed25519 signature proofs per
+second per chip, measured on the real batch-K EdDSA leaf circuit
+(gadgets/eddsa.py, 2^16 rows x 234 wires with LogUp range lanes) proving
+real validator signatures from the mainnet fixtures with the HBM-resident
+TPU prover — the workload the NEAR pipeline spends its time in
+(~100 signatures per block, SURVEY.md §3.1 hot loop #1).
+
+Extra fields carry north star #2 (Goldilocks 2^22 NTT latency).
+
+vs_baseline: the reference publishes no per-signature number (SURVEY.md §6)
+and the image has no Rust toolchain to measure it, so the baseline is the
+documented plonky2 wide_ecc ballpark of ~10 s/signature on a 16-core rayon
+CPU (crypto/plonky2_ed25519/src/main.rs:25 harness) => 0.1 sig/s.
 """
 import json
 import sys
@@ -16,38 +22,72 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-CPU_REFERENCE_MS = 100.0
+CPU_REFERENCE_SIG_PER_S = 0.1     # plonky2 wide_ecc ed25519, 16-core rayon
+CPU_REFERENCE_NTT_MS = 100.0      # 2^22 radix-2 Goldilocks, 16-core rayon
 LOG_N = 22
 
 
-def main():
+def bench_ntt():
     import jax
-    from zklc_tpu.field import gl2x32 as gl
+    import jax.numpy as jnp
     from zklc_tpu.ops import ntt as ntt_ops
 
     n = 1 << LOG_N
     rng = np.random.default_rng(0)
     hi = rng.integers(0, 0xFFFFFFFF, size=n, dtype=np.uint32)
     lo = rng.integers(0, 0xFFFFFFFF, size=n, dtype=np.uint32)
-    import jax.numpy as jnp
     x = (jnp.asarray(hi), jnp.asarray(lo))
-
-    # warm-up / compile
-    out = ntt_ops.ntt(x, LOG_N)
+    out = ntt_ops.ntt(x, LOG_N)          # warm-up / compile
     jax.block_until_ready(out)
-
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = ntt_ops.ntt(out, LOG_N)
     jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / iters * 1000.0
+    return (time.perf_counter() - t0) / iters * 1000.0
 
+
+def bench_ed25519():
+    import os.path as p
+    from zklc_tpu.near import utils as U, signatures as S
+
+    eps = U.ordered_epochs()
+    _, blocks = U.set_blocks(eps[-1], eps[-2], eps[-3])
+    validators = U.load_validators(
+        p.join(U.epoch_dir(eps[-1]), "validators.json"))
+    b_i, b_next = blocks[4], blocks[3]
+    msg = S.generate_signed_message(b_i.height, b_next.height, b_i.hash)
+    chk = S.check_approvals(msg, b_next.approvals, validators)
+    k = S.BATCH_K
+    sig_pks = []
+    for idx in chk.valid_indices[:k]:
+        sig = b_next.approvals[idx]
+        sig_pks.append((sig[1:] if len(sig) == 65 else sig,
+                        validators[idx].public_key[1:]))
+
+    # warm-up: circuit build + witness tape + kernel cache
+    S.prove_signature_batch(msg, sig_pks)
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        S.prove_signature_batch(msg, sig_pks)
+    dt = (time.perf_counter() - t0) / iters
+    return len(sig_pks) / dt, dt
+
+
+def main():
+    ntt_ms = bench_ntt()
+    sig_per_s, leaf_s = bench_ed25519()
     print(json.dumps({
-        "metric": "goldilocks_ntt_2^22",
-        "value": round(ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(CPU_REFERENCE_MS / ms, 3),
+        "metric": "ed25519_sig_proofs_per_sec_per_chip",
+        "value": round(sig_per_s, 4),
+        "unit": "sig/s",
+        "vs_baseline": round(sig_per_s / CPU_REFERENCE_SIG_PER_S, 3),
+        "extra": {
+            "eddsa_batch4_leaf_s": round(leaf_s, 3),
+            "goldilocks_ntt_2^22_ms": round(ntt_ms, 3),
+            "ntt_vs_cpu_reference": round(CPU_REFERENCE_NTT_MS / ntt_ms, 3),
+        },
     }))
 
 

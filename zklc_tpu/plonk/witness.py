@@ -56,7 +56,11 @@ def generate_witness(data: ProverData, inputs: dict) -> "WitnessResult":
         tape = tapes.get(seed_key)
         try:
             if tape is None:
-                tape = wt.compile_tape(data, inputs.keys())
+                path = wt.tape_cache_path(data, seed_key)
+                tape = wt.load_tape(path, data, seed_key)
+                if tape is None:
+                    tape = wt.compile_tape(data, inputs.keys())
+                    wt.save_tape(tape, path)
                 tapes[seed_key] = tape
             return wt.execute_tape(tape, data, inputs)
         except wt.TapeConflict as e:

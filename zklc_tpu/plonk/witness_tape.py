@@ -37,8 +37,8 @@ class TapeStall(Exception):
 class Tape:
     __slots__ = ("n_reps", "op", "dep_off", "dep_cnt", "out_off", "out_cnt",
                  "par_off", "par_cnt", "deps_pool", "outs_pool", "params_pool",
-                 "py_fns", "wire_pos", "wire_repidx", "input_reps_key",
-                 "n_instr", "_rep_index")
+                 "py_fns", "py_gi", "wire_pos", "wire_repidx",
+                 "input_reps_key", "n_instr", "_rep_index")
 
 
 def _schedule(gens, dep_reps, out_reps, seeded: set) -> list:
@@ -130,6 +130,7 @@ def compile_tape(data: ProverData, input_targets) -> Tape:
     outs_pool: list = []
     params_pool: list = []
     py_fns: dict = {}
+    py_gi: dict = {}
 
     for pos, gi in enumerate(order):
         g = gens[gi]
@@ -146,6 +147,7 @@ def compile_tape(data: ProverData, input_targets) -> Tape:
             code = OPCODES["PYTHON"]
             py_fns[pos] = (g.fn, np.array(dix, dtype=np.int64),
                            np.array(oix, dtype=np.int64))
+            py_gi[pos] = gi
             params = []
         else:
             code = OPCODES[name]
@@ -171,6 +173,7 @@ def compile_tape(data: ProverData, input_targets) -> Tape:
     t.outs_pool = np.array(outs_pool, dtype=np.int32)
     t.params_pool = np.array(params_pool, dtype=np.uint64)
     t.py_fns = py_fns
+    t.py_gi = py_gi
 
     # wires fill: flat positions into (degree, num_wires) and source indices
     num_wires = data.common.config.num_wires
@@ -269,3 +272,79 @@ def execute_tape(tape: Tape, data: ProverData, inputs: dict):
     wires[tape.wire_pos] = values[tape.wire_repidx]
     return TapeWitnessResult(wires.reshape(n, num_wires), values, ds,
                              tape._rep_index)
+
+
+# ---------------------------------------------------------------------------
+# Persistent tape cache: compile_tape is a pure-Python pass over millions of
+# generators (minutes for the 2^16 EdDSA / aggregation circuits) but its
+# output is deterministic per (circuit, seeded-input-set) — persist it like
+# the XLA compile cache (runtime.py) so each shape compiles once per
+# machine, not once per process.  PYTHON-escape closures are rebuilt from
+# data.generators via their stored generator indices.
+# ---------------------------------------------------------------------------
+
+def tape_cache_path(data: ProverData, seeded) -> str:
+    import hashlib
+    import os
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(data.constants_rows).tobytes())
+    h.update(np.ascontiguousarray(data.sigmas_rows).tobytes())
+    h.update(np.array(sorted(seeded), dtype=np.int64).tobytes())
+    h.update(str(len(data.generators)).encode())
+    d = os.environ.get("ZKLC_TAPE_CACHE",
+                       os.path.expanduser("~/.cache/zklc_tapes"))
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, h.hexdigest()[:24] + ".npz")
+
+
+def save_tape(tape: Tape, path: str) -> None:
+    keys = np.fromiter(tape._rep_index.keys(), dtype=np.int64,
+                       count=len(tape._rep_index))
+    vals = np.fromiter(tape._rep_index.values(), dtype=np.int64,
+                       count=len(tape._rep_index))
+    py_pos = np.array(sorted(tape.py_gi.keys()), dtype=np.int64)
+    py_gi = np.array([tape.py_gi[int(k)] for k in py_pos], dtype=np.int64)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp,
+             op=tape.op, dep_off=tape.dep_off, dep_cnt=tape.dep_cnt,
+             out_off=tape.out_off, out_cnt=tape.out_cnt,
+             par_off=tape.par_off, par_cnt=tape.par_cnt,
+             deps_pool=tape.deps_pool, outs_pool=tape.outs_pool,
+             params_pool=tape.params_pool, wire_pos=tape.wire_pos,
+             wire_repidx=tape.wire_repidx, rep_keys=keys, rep_vals=vals,
+             py_pos=py_pos, py_gi=py_gi,
+             meta=np.array([tape.n_reps, tape.n_instr], dtype=np.int64))
+    import os
+    os.replace(tmp, path)
+
+
+def load_tape(path: str, data: ProverData, seeded) -> "Tape | None":
+    import os
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        t = Tape()
+        t.n_reps, t.n_instr = (int(x) for x in z["meta"])
+        for f in ("op", "dep_off", "dep_cnt", "out_off", "out_cnt",
+                  "par_off", "par_cnt", "deps_pool", "outs_pool",
+                  "params_pool", "wire_pos", "wire_repidx"):
+            setattr(t, f, np.ascontiguousarray(z[f]))
+        t._rep_index = dict(zip(z["rep_keys"].tolist(),
+                                z["rep_vals"].tolist()))
+        t.py_fns = {}
+        t.py_gi = {}
+        gens = data.generators
+        for pos, gi in zip(z["py_pos"].tolist(), z["py_gi"].tolist()):
+            dix = t.deps_pool[t.dep_off[pos]:
+                              t.dep_off[pos] + t.dep_cnt[pos]].astype(
+                                  np.int64)
+            oix = t.outs_pool[t.out_off[pos]:
+                              t.out_off[pos] + t.out_cnt[pos]].astype(
+                                  np.int64)
+            t.py_fns[pos] = (gens[gi].fn, dix, oix)
+            t.py_gi[pos] = gi
+        t.input_reps_key = frozenset(seeded)
+        return t
+    except Exception:   # corrupt/stale cache entry: recompile
+        return None
