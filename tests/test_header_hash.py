@@ -36,3 +36,67 @@ def test_header_hash_epoch_mode():
     check_constraints(data, wr)
     got = [int(wr.get(t)) for t in data.public_input_targets]
     assert got == HH.expected_public_inputs(h, "epoch")
+
+
+def test_header_hash_bucketed_variable_length():
+    """Shape bucketing (SURVEY §7.4.6): headers of different inner_rest
+    lengths share ONE circuit per (bucket, offsets) class; the variable-
+    length SHA's one-hot selection still yields byte-exact PIs."""
+    import hashlib
+    from dataclasses import dataclass
+
+    h1 = T.load_block_header(f"{DATA}/block_header_small.json")
+
+    # second header with a DIFFERENT inner_rest length in the same bucket
+    # (the checked-in next_block_header_small.json is internally hash-
+    # inconsistent — it exists for approval bytes only — so extend h1)
+    @dataclass
+    class _Synth:
+        inner_lite: bytes
+        inner_rest: bytes
+        prev_hash: bytes
+        hash: bytes
+        next_bp_hash: bytes
+        next_epoch_id: bytes
+
+    rest2 = h1.inner_rest + b"\xab" * 100
+    inner2 = hashlib.sha256(hashlib.sha256(h1.inner_lite).digest()
+                            + hashlib.sha256(rest2).digest()).digest()
+    h2 = _Synth(inner_lite=h1.inner_lite, inner_rest=rest2,
+                prev_hash=h1.prev_hash,
+                hash=hashlib.sha256(inner2 + h1.prev_hash).digest(),
+                next_bp_hash=h1.next_bp_hash,
+                next_epoch_id=h1.next_epoch_id)
+    assert len(h1.inner_rest) != len(h2.inner_rest)
+    HH._bucket_cache.clear()
+    for h in (h1, h2):
+        data, tg = HH.get_header_circuit(h, "epoch")
+        inputs = {}
+        HH.set_header_hash_inputs(tg, h, inputs)
+        wr = generate_witness(data, inputs)
+        check_constraints(data, wr)
+        got = [int(wr.get(t)) for t in data.public_input_targets]
+        assert got == HH.expected_public_inputs(h, "epoch")
+    # both lengths land in the same bucket -> ONE cached circuit
+    assert len(HH._bucket_cache) == 1
+
+
+def test_header_hash_bucketed_wrong_selector_rejected():
+    """A mis-set block-count selector must fail constraints (the digest
+    no longer matches the chained state the outer statement expects)."""
+    import numpy as np
+    from zklc_tpu.plonk.witness import WitnessConflict
+    h = T.load_block_header(f"{DATA}/block_header_small.json")
+    data, tg = HH.get_header_circuit(h, "epoch")
+    inputs = {}
+    HH.set_header_hash_inputs(tg, h, inputs)
+    # move the one-hot selection one block later
+    from zklc_tpu.gadgets.sha256 import Sha256Ops
+    blocks = Sha256Ops.num_blocks_for(len(h.inner_rest))
+    for j, t in enumerate(tg.sel_bits):
+        inputs[t] = np.uint64(1 if j == blocks else 0)    # off by one
+    with pytest.raises((WitnessConflict, AssertionError)):
+        wr = generate_witness(data, inputs)
+        check_constraints(data, wr)
+        got = [int(wr.get(t)) for t in data.public_input_targets]
+        assert got == HH.expected_public_inputs(h, "epoch")

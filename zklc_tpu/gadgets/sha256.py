@@ -120,6 +120,50 @@ class Sha256Ops:
             self.b.connect(out.limbs[i], state[i])
         return out
 
+    def hash_sha256_variable(self, hash_input: HashInputTarget
+                             ) -> tuple[BigUintTarget, list[int]]:
+        """Variable-length multi-block SHA-256: the digest is the chained
+        state after a witness-selected block count.
+
+        Returns (digest, sel_bits): sel_bits[j] is a boolean target meaning
+        "the padded message occupies exactly j+1 blocks"; the circuit
+        enforces one-hot-ness (sum == 1) and selects
+        digest_limb = sum_j sel_bits[j] * state_after_block_j[limb].
+
+        This is the shape-bucketing primitive (SURVEY.md §7.4.6): one
+        circuit per BUCKET of block counts instead of one per exact message
+        length, so XLA compiles each header-circuit kernel once per bucket.
+        Soundness note: like the fixed-length flavor (and the reference's
+        sha256.rs:18-33), SHA padding lives in the witness words — the
+        digest is bound to whatever words were absorbed, and the outer
+        statement (signature / prev-hash / trusted-hash linkage) rejects
+        digests of mis-padded or mis-selected messages."""
+        u = self.u32
+        b = self.b
+        out = self.big.add_virtual_biguint_target(8, range_check=False)
+        input_limbs = hash_input.input.limbs
+        block_num = hash_input.input_bits // 512
+        state = [u.constant_u32(x) for x in H256]
+        k256 = [u.constant_u32(x) for x in K32]
+        sel_bits = []
+        acc = [b.zero()] * 8
+        for blk in range(block_num):
+            w = input_limbs[blk * 16: blk * 16 + 16]
+            new = self._compress(state, w, k256)
+            state = [u.add_u32(s, n)[0] for s, n in zip(state, new)]
+            s_t = b.add_virtual_target()
+            b.assert_bool(s_t)
+            sel_bits.append(s_t)
+            for i in range(8):
+                acc[i] = b.arithmetic(1, 1, s_t, state[i], acc[i])
+        total = b.zero()
+        for s_t in sel_bits:
+            total = b.arithmetic(1, 1, total, b.one(), s_t)
+        b.connect(total, b.one())
+        for i in range(8):
+            self.b.connect(out.limbs[i], acc[i])
+        return out, sel_bits
+
     def two_to_one_sha256(self, left: list[int], right: list[int]) -> list[int]:
         """sha256.rs:248+: compress one 512-bit block of left||right digests,
         then a constant second block holding SHA padding for 512-bit input."""

@@ -58,12 +58,10 @@ OFF_LAST_FINAL = 136
 
 
 def prove_header(header, mode: str = "finality"):
-    """Real header-hash proof (header_hash.py single-circuit DAG)."""
-    kw = {}
-    if mode == "finality":
-        lds, lf = HH.rest_field_offsets(header)
-        kw = dict(last_ds_off=lds, last_final_off=lf)
-    data, tg = HH.build_header_hash_circuit(len(header.inner_rest), mode, **kw)
+    """Real header-hash proof (header_hash.py single-circuit DAG), using
+    the BUCKETED variable-length circuit cache (one circuit per
+    rest-block bucket, not per header — SURVEY.md §7.4.6)."""
+    data, tg = HH.get_header_circuit(header, mode)
     inputs: dict = {}
     HH.set_header_hash_inputs(tg, header, inputs)
     proof = prover.prove(data, inputs)
@@ -121,26 +119,44 @@ def _prove_sig_and_keys(b_target, b_next, validators, dev_mode,
 
 
 def _wire_signature_links(b, sig_pt, ks_pt, hash_bytes, target_hdr_pt,
-                          msg, check, borsh, bind_bp_hash, ep0_pt):
+                          next_hdr_pt, msg, check, borsh, bind_bp_hash,
+                          ep0_pt):
     """Connect the signature fold transcript words to the approval message
     and the keys_stakes pk rows; bind the validator digest to next_bp_hash
-    of the epoch slot-1 header proof (block_finality.rs:347-370)."""
+    of the epoch slot-1 header proof (block_finality.rs:347-370).
+
+    The hash AND height bytes of the approval message are wired from the
+    header proofs' public inputs (not baked as circuit constants), so the
+    aggregation circuit is height-agnostic — one compile serves every
+    block of the same shape class (VERDICT round-1 weak #7)."""
     n_words = _leaf_word_count(msg)
     pi_per_leaf = 2 * n_words
     n_leaves = len(check.valid_indices)
     is_endorsement = msg[0] == 0
-    msg_const = _padded_message_bytes(msg, is_endorsement)
+    msg_src: list = _padded_message_bytes(msg, is_endorsement)
     if is_endorsement:
-        target_height = int.from_bytes(msg[33:41], "little")
-        for k, byte in enumerate((target_height - 1).to_bytes(8, "little")):
-            b.connect(target_hdr_pt.public_inputs[OFF_HEIGHT + k],
-                      b.constant(byte))
+        # bytes 33..41: target_height LE = next block's height PIs
+        for k in range(8):
+            msg_src[33 + k] = ("t",
+                               next_hdr_pt.public_inputs[OFF_HEIGHT + k])
+    else:
+        # Skip(h): bytes 1..9 = target height, 9..17 = next height
+        for k in range(8):
+            msg_src[1 + k] = ("t",
+                              target_hdr_pt.public_inputs[OFF_HEIGHT + k])
+            msg_src[9 + k] = ("t",
+                              next_hdr_pt.public_inputs[OFF_HEIGHT + k])
 
     def word_from(msg_bytes, start):
         acc = b.zero()
         for k in range(start, start + 4):
             v = msg_bytes[k] if k < len(msg_bytes) else 0
-            byte_t = hash_bytes[k - 1] if v is None else b.constant(int(v))
+            if v is None:
+                byte_t = hash_bytes[k - 1]
+            elif isinstance(v, tuple):
+                byte_t = v[1]
+            else:
+                byte_t = b.constant(int(v))
             acc = b.arithmetic(256, 1, acc, b.one(), byte_t)
         return acc
 
@@ -148,9 +164,9 @@ def _wire_signature_links(b, sig_pt, ks_pt, hash_bytes, target_hdr_pt,
         base = leaf * pi_per_leaf
         for wi in range(8, n_words):
             b.connect(sig_pt.public_inputs[base + 2 * wi],
-                      word_from(msg_const, 8 * (wi - 8)))
+                      word_from(msg_src, 8 * (wi - 8)))
             b.connect(sig_pt.public_inputs[base + 2 * wi + 1],
-                      word_from(msg_const, 8 * (wi - 8) + 4))
+                      word_from(msg_src, 8 * (wi - 8) + 4))
         vk_base = leaf * 33
         for wi in range(4, 8):
             pk0 = (wi - 4) * 8
@@ -246,7 +262,8 @@ def _aggregate_target(target_hdr, ds_hdr, final_hdr, chain_hdrs,
                   pt_of(ep_slot0).public_inputs[k])
 
     _wire_signature_links(b, pt_of(sig), pt_of(ks), hash_bytes, tgt,
-                          msg, check, borsh, bind_bp_hash, pt_of(ep_slot1))
+                          pt_of(ds_hdr), msg, check, borsh, bind_bp_hash,
+                          pt_of(ep_slot1))
 
     # final PIs: [tag || hash(target) || hash(ep_slot0) || hash(ep_slot1)]
     b.register_public_input(b.constant(tag))

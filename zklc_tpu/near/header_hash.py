@@ -39,6 +39,12 @@ EPOCH_ID_OFF = 8
 NEXT_EPOCH_ID_OFF = 40
 NEXT_BP_HASH_OFF = 144
 
+# inner_rest SHA-block bucket granularity (SURVEY.md §7.4.6 shape
+# bucketing): headers with block counts in the same bucket share ONE
+# circuit — one witness-tape compile and one XLA kernel set per bucket
+# instead of per block.
+REST_BUCKET_BLOCKS = 16
+
 
 @dataclass
 class HeaderHashTargets:
@@ -47,7 +53,8 @@ class HeaderHashTargets:
     prev_hash_limbs: list          # 8 u32 targets (BE words of prev_hash)
     hash_limbs: list               # 8 u32 targets (the block hash digest)
     mode: str
-    rest_len: int
+    rest_len: int                  # capacity in bytes (bucketed circuits)
+    sel_bits: list = None          # one-hot block-count selector (bucketed)
 
 
 class _ByteCache:
@@ -84,13 +91,18 @@ def _message_bytes(bc: _ByteCache, words: list[int], start: int,
 def build_header_hash_circuit(rest_len: int, mode: str = "finality",
                               last_ds_off: int | None = None,
                               last_final_off: int | None = None,
-                              config: CircuitConfig | None = None):
+                              config: CircuitConfig | None = None,
+                              variable_rest: bool = False):
     """Returns (builder-built ProverData, HeaderHashTargets).
 
     mode "finality" requires the inner_rest byte offsets of last_final_block
     / last_ds_final_block (they sit after variable-length vectors, so they
     are build-time parameters — circuits are cached per shape, the same
     bucketing as the reference's per-length circuit cache, ed25519.rs:18).
+
+    variable_rest: rest_len is a bucket CAPACITY; the circuit hashes a
+    witness-selected number of blocks (hash_sha256_variable), so one
+    circuit serves every header whose padded inner_rest fits the bucket.
     """
     b = CircuitBuilder(config or CircuitConfig.standard_recursion_config())
     sha = Sha256Ops(b)
@@ -103,7 +115,11 @@ def build_header_hash_circuit(rest_len: int, mode: str = "finality",
     prev_limbs = sha.add_virtual_hash256_target()
 
     h_lite = sha.hash_sha256(lite_in)
-    h_rest = sha.hash_sha256(rest_in)
+    sel_bits = None
+    if variable_rest:
+        h_rest, sel_bits = sha.hash_sha256_variable(rest_in)
+    else:
+        h_rest = sha.hash_sha256(rest_in)
     inner = sha.two_to_one_sha256(h_lite.limbs, h_rest.limbs)
     hash_limbs = sha.two_to_one_sha256(inner, prev_limbs)
 
@@ -131,8 +147,37 @@ def build_header_hash_circuit(rest_len: int, mode: str = "finality",
     data = b.build()
     targets = HeaderHashTargets(
         lite_input=lite_in, rest_input=rest_in, prev_hash_limbs=prev_limbs,
-        hash_limbs=hash_limbs, mode=mode, rest_len=rest_len)
+        hash_limbs=hash_limbs, mode=mode, rest_len=rest_len,
+        sel_bits=sel_bits)
     return data, targets
+
+
+_bucket_cache: dict = {}
+
+
+def rest_bucket_bytes(rest_len: int) -> int:
+    """Bucket capacity in message bytes: the largest length whose padded
+    block count equals the bucketed count."""
+    blocks = Sha256Ops.num_blocks_for(rest_len)
+    bucket = ((blocks + REST_BUCKET_BLOCKS - 1)
+              // REST_BUCKET_BLOCKS) * REST_BUCKET_BLOCKS
+    return bucket * 64 - 9     # max bytes fitting bucket blocks w/ padding
+
+
+def get_header_circuit(header, mode: str = "finality"):
+    """Build-once bucketed circuit for a header's shape class:
+    key = (rest-block bucket, mode, last_ds/last_final offsets)."""
+    if mode == "finality":
+        lds, lf = rest_field_offsets(header)
+    else:
+        lds = lf = None
+    cap = rest_bucket_bytes(len(header.inner_rest))
+    key = (cap, mode, lds, lf)
+    if key not in _bucket_cache:
+        _bucket_cache[key] = build_header_hash_circuit(
+            cap, mode, last_ds_off=lds, last_final_off=lf,
+            variable_rest=True)
+    return _bucket_cache[key]
 
 
 def rest_field_offsets(header) -> tuple[int, int]:
@@ -158,8 +203,17 @@ def set_header_hash_inputs(targets: HeaderHashTargets, header, inputs: dict):
         header.inner_lite, targets.lite_input.input_bits)
     for t, w in zip(targets.lite_input.input.limbs, lite_words):
         inputs[t] = np.uint64(w)
-    rest_words = Sha256Ops.sha256_pad_words(
-        header.inner_rest, targets.rest_input.input_bits)
+    if targets.sel_bits is None:
+        rest_words = Sha256Ops.sha256_pad_words(
+            header.inner_rest, targets.rest_input.input_bits)
+    else:
+        blocks = Sha256Ops.num_blocks_for(len(header.inner_rest))
+        rest_words = Sha256Ops.sha256_pad_words(
+            header.inner_rest, blocks * 512)
+        rest_words += [0] * (targets.rest_input.input_bits // 32
+                             - len(rest_words))
+        for j, t in enumerate(targets.sel_bits):
+            inputs[t] = np.uint64(1 if j + 1 == blocks else 0)
     for t, w in zip(targets.rest_input.input.limbs, rest_words):
         inputs[t] = np.uint64(w)
     for i, t in enumerate(targets.prev_hash_limbs):

