@@ -1,0 +1,89 @@
+"""Multi-chip scaling efficiency on the virtual CPU mesh.
+
+Measures the two sharded paths (parallel/sharded.py) at 1 vs N virtual
+devices and prints JSON with weak-scaling efficiency:
+
+  * batch-commit step (signature-axis data parallelism: LDE + Merkle caps
+    + all_gather/psum) — weak scaling: per-device batch is constant, so
+    ideal efficiency keeps wall-clock flat while total work scales by N;
+  * cross-chip NTT (ntt_all_to_all): one transform of fixed size, strong
+    scaling across N devices.
+
+NOTE: virtual CPU devices SHARE the host's cores, so these numbers
+validate the mechanism (collectives compile + run + scale sanely), not ICI
+bandwidth — real pod-slice numbers require hardware this environment does
+not expose (one tunneled chip).  Run: python scripts/scaling_bench.py
+"""
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np                                           # noqa: E402
+
+from zklc_tpu.parallel import sharded                        # noqa: E402
+from zklc_tpu.field import gl2x32 as gl                      # noqa: E402
+
+
+def time_fn(fn, *args, iters=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_commit(n_dev: int, log_n: int = 10, per_dev_batch: int = 4):
+    mesh = sharded.make_mesh(n_dev)
+    step = sharded.batch_commit_step(mesh, log_n)
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, (1 << 64) - 2**32,
+                        size=(per_dev_batch * n_dev, 1 << log_n),
+                        dtype=np.uint64)
+    return time_fn(step, gl.from_u64_np(vals))
+
+
+def bench_a2a(n_dev: int, log_n: int = 14):
+    mesh = sharded.make_mesh(n_dev, axis="ntt")
+    fn = sharded.ntt_all_to_all(mesh, log_n)
+    l1 = (log_n + 1) // 2
+    n1, n2 = 1 << l1, 1 << (log_n - l1)
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, (1 << 64) - 2**32, size=(n2, n1), dtype=np.uint64)
+    x = gl.from_u64_np(vals)
+    return time_fn(fn, x[0], x[1])
+
+
+def main():
+    n = len(jax.devices())
+    t_c1 = bench_commit(1)
+    t_cn = bench_commit(n)
+    # weak scaling: ideal keeps time flat as work grows N-fold
+    commit_eff = t_c1 / t_cn
+    t_a1 = bench_a2a(1)
+    t_an = bench_a2a(n)
+    # strong scaling: ideal divides time by N
+    a2a_eff = t_a1 / (t_an * n)
+    print(json.dumps({
+        "devices": n,
+        "commit_weak_scaling_efficiency": round(commit_eff, 3),
+        "commit_ms_1dev": round(t_c1 * 1e3, 2),
+        "commit_ms_ndev_nxwork": round(t_cn * 1e3, 2),
+        "ntt_a2a_strong_scaling_efficiency": round(a2a_eff, 3),
+        "ntt_a2a_ms_1dev": round(t_a1 * 1e3, 2),
+        "ntt_a2a_ms_ndev": round(t_an * 1e3, 2),
+        "note": "virtual CPU mesh shares host cores; mechanism check, "
+                "not ICI bandwidth",
+    }))
+
+
+if __name__ == "__main__":
+    main()
