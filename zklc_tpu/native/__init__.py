@@ -20,12 +20,16 @@ _lib = None
 
 
 def _build() -> bool:
+    # The generator scripts import zklc_tpu.hash modules, which may import
+    # this package back; ZKLC_NATIVE=0 in their env makes that nested
+    # import skip _build(), breaking what was an infinite spawn recursion.
+    env = dict(os.environ, ZKLC_NATIVE="0")
     try:
         subprocess.run([sys.executable, os.path.join(HERE, "gen_constants.py")],
-                       check=True, capture_output=True)
+                       check=True, capture_output=True, env=env)
         subprocess.run([sys.executable,
                         os.path.join(HERE, "gen_bn128_constants.py")],
-                       check=True, capture_output=True)
+                       check=True, capture_output=True, env=env)
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              "-fopenmp",
