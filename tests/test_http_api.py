@@ -24,7 +24,8 @@ class StubOrchestrator(Orchestrator):
         self.delay = delay
 
     def generate_proof(self, epoch_blocks, blocks, validators,
-                       mode="random", validators_n_1=None, wrap=None):
+                       mode="random", validators_n_1=None, wrap=None,
+                       claimed=False):
         h = blocks[0]
         self.store.set(h, status=ProofStatus.IN_PROCESSING)
         time.sleep(self.delay)

@@ -21,8 +21,17 @@ handles it: every window table is offset by a fixed nothing-up-my-sleeve
 point so the accumulator never passes through the identity; the accumulated
 offset (a compile-time constant) is subtracted once at the end.  A
 degenerate same-x addition makes the inverse hint unsatisfiable, which is a
-completeness (not soundness) event with negligible probability for honest
-inputs.
+completeness (not soundness) event.
+
+CAVEAT (ADVICE r2): the window offsets C_i = h(tag)*G are deterministic
+public points whose discrete logs w.r.t. G are derivable from the tag, so
+an adversarial *input* (a public key constructed as pk = (1-j)^-1 * C_i)
+can force a same-x collision and make witness generation unsatisfiable —
+a prover-side DoS for that input, never a soundness break.  The reference
+avoids this with build-time random offsets (curve_windowed_mul.rs:56);
+deployments exposed to attacker-chosen keys should seed `_offset_point`
+per-build (pass a random tag) or route collision-prone adds through the
+complete-addition fallback.
 """
 from __future__ import annotations
 

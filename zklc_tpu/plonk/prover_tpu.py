@@ -455,7 +455,9 @@ def _structural_key(common):
             tuple(common.selector_indices),
             tuple(common.selector_groups),
             tuple(int(k) for k in common.k_is),
-            None if lk is None else (lk.tables, lk.lanes))
+            None if lk is None else (lk.cfg.tables, lk.cfg.lanes,
+                                     lk.cfg.max_group, lk.lane_cols,
+                                     lk.s_col, lk.table_cols, lk.groups))
 
 
 _quotient_parts_cache: dict = {}

@@ -34,21 +34,25 @@ class ProofApi:
         self.orch = orchestrator
         self.fetch_task = fetch_task_fn
         self.metrics = metrics
-        self._threads: list[threading.Thread] = []
+        # active worker threads keyed by block hash; pruned on completion
+        # so a long-running server doesn't leak Thread objects (ADVICE r2)
+        self._threads: dict[str, threading.Thread] = {}
+        self._threads_lock = threading.Lock()
 
     # -- handlers ------------------------------------------------------------
     def generate_proof(self, block_hash: str) -> tuple[int, dict]:
-        existing = self.orch.store.get(block_hash)
-        if existing and existing.get("status") in (ProofStatus.DONE,
-                                                   ProofStatus.IN_PROCESSING):
-            self.metrics.inc("proof_requests_deduped_total")
-            return 200, existing
         try:
             task = self.fetch_task(block_hash)
         except Exception as e:
             return 404, {"error": f"task fetch failed: {e}"}
         if task is None:
             return 404, {"error": "unknown block"}
+        # Atomic claim BEFORE spawning the worker: concurrent duplicate
+        # POSTs must not both launch ~10-minute proving runs (ADVICE r2).
+        claimed, row = self.orch.store.claim(block_hash)
+        if not claimed:
+            self.metrics.inc("proof_requests_deduped_total")
+            return 200, row
         epoch_blocks, blocks, validators, mode, vn1 = task
         self.metrics.inc("proof_requests_total")
 
@@ -56,21 +60,28 @@ class ProofApi:
             with self.metrics.timer("prove_block"):
                 try:
                     self.orch.generate_proof(epoch_blocks, blocks, validators,
-                                             mode=mode, validators_n_1=vn1)
+                                             mode=mode, validators_n_1=vn1,
+                                             claimed=True)
                     self.metrics.inc("proofs_done_total")
                 except Exception:
                     self.metrics.inc("proofs_error_total")
+                finally:
+                    with self._threads_lock:
+                        self._threads.pop(block_hash, None)
 
         t = threading.Thread(target=run, daemon=True)
+        with self._threads_lock:
+            self._threads[block_hash] = t
         t.start()
-        self._threads.append(t)
         return 200, {"status": ProofStatus.IN_PROCESSING, "hash": block_hash}
 
     def proof_status(self, block_hash: str) -> tuple[int, dict]:
         return 200, self.orch.get_proof_status(block_hash)
 
     def join(self, timeout=None):
-        for t in self._threads:
+        with self._threads_lock:
+            threads = list(self._threads.values())
+        for t in threads:
             t.join(timeout)
 
 

@@ -28,12 +28,17 @@ class Metrics:
         with self._lock:
             self._gauges[name] = float(value)
 
+    def add_gauge(self, name: str, delta: float):
+        """Atomic get+set: concurrent timers must not lose increments
+        (the _active gauge feeds /ready; ADVICE r2)."""
+        with self._lock:
+            self._gauges[name] = self._gauges.get(name, 0.0) + delta
+
     @contextmanager
     def timer(self, name: str):
         """Accumulates seconds into <name>_seconds_total and counts
         <name>_total (risc0's active-request gauge analogue included)."""
-        self.set_gauge(name + "_active",
-                       self._gauges.get(name + "_active", 0) + 1)
+        self.add_gauge(name + "_active", 1)
         t0 = time.time()
         try:
             yield
@@ -41,8 +46,7 @@ class Metrics:
             dt = time.time() - t0
             self.inc(name + "_seconds_total", dt)
             self.inc(name + "_total")
-            self.set_gauge(name + "_active",
-                           self._gauges.get(name + "_active", 1) - 1)
+            self.add_gauge(name + "_active", -1)
 
     def snapshot(self) -> dict:
         with self._lock:

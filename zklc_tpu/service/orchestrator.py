@@ -30,8 +30,16 @@ class ProofStatus:
 
 @dataclass
 class StatusStore:
-    """File-backed BlockProof table (prisma/schema.prisma analogue)."""
+    """File-backed BlockProof table (prisma/schema.prisma analogue).
+
+    All read-modify-write cycles run under a per-store lock so concurrent
+    worker threads (the HTTP API proves different blocks in parallel) can't
+    rewrite the table from a stale snapshot (ADVICE r2)."""
     path: str
+
+    def __post_init__(self):
+        import threading
+        self._lock = threading.Lock()
 
     def _load(self) -> dict:
         if os.path.exists(self.path):
@@ -47,13 +55,32 @@ class StatusStore:
         os.replace(tmp, self.path)
 
     def get(self, block_hash: str) -> dict | None:
-        return self._load().get(block_hash)
+        with self._lock:
+            return self._load().get(block_hash)
 
     def set(self, block_hash: str, **fields):
-        d = self._load()
-        row = d.setdefault(block_hash, {"dateCreate": time.time()})
-        row.update(fields)
-        self._save(d)
+        with self._lock:
+            d = self._load()
+            row = d.setdefault(block_hash, {"dateCreate": time.time()})
+            row.update(fields)
+            self._save(d)
+
+    def claim(self, block_hash: str, **fields) -> tuple[bool, dict]:
+        """Atomically mark IN-PROCESSING unless already DONE/IN-PROCESSING.
+
+        Returns (claimed, row). Closes the dedupe TOCTOU between the status
+        check and the worker spawn (ADVICE r2, http_api.py)."""
+        with self._lock:
+            d = self._load()
+            row = d.get(block_hash)
+            if row and row.get("status") in (ProofStatus.DONE,
+                                             ProofStatus.IN_PROCESSING):
+                return False, row
+            row = d.setdefault(block_hash, {"dateCreate": time.time()})
+            row.update(fields)
+            row["status"] = ProofStatus.IN_PROCESSING
+            self._save(d)
+            return True, row
 
 
 @dataclass
@@ -71,7 +98,8 @@ class Orchestrator:
     # -- proof.controller.ts:8 generateProof -------------------------------
     def generate_proof(self, epoch_blocks, blocks, validators,
                        mode: str = "random", validators_n_1=None,
-                       wrap: bool | None = None) -> dict:
+                       wrap: bool | None = None,
+                       claimed: bool = False) -> dict:
         """Prove + (optionally) BN128-wrap + write artifacts.
 
         wrap=None defaults to the real-prover path (prove_block.rs:279-300
@@ -84,11 +112,13 @@ class Orchestrator:
         if wrap is None:
             wrap = not self.dev_mode
         block_hash = b58encode(blocks[4].hash)
-        existing = self.store.get(block_hash)
-        if existing and existing.get("status") == ProofStatus.DONE:
-            return existing                       # dedupe
-        self.store.set(block_hash, status=ProofStatus.IN_PROCESSING,
-                       height=blocks[4].height)
+        if claimed:
+            # caller already holds the IN-PROCESSING claim (http_api)
+            self.store.set(block_hash, height=blocks[4].height)
+        else:
+            ok, row = self.store.claim(block_hash, height=blocks[4].height)
+            if not ok:
+                return row                        # dedupe DONE + in-flight
         try:
             res = bft.prove_block_bft(epoch_blocks, blocks, validators,
                                       dev_mode=self.dev_mode, mode=mode,
