@@ -25,9 +25,15 @@ N_PARTIAL = pos.N_PARTIAL_ROUNDS
 
 
 def _tbl(x):
+    """Constant tables stay NUMPY at module level: this module is first
+    imported lazily from inside a jit trace (prover_tpu._quotient_split),
+    and a jnp.asarray created there would be a tracer bound to that trace —
+    cached in a global, it poisons every later trace (UnexpectedTracerError,
+    seen on the real chip by scripts/tpu_smoke.py).  numpy constants are
+    embedded per-trace by XLA for free."""
     a = np.asarray(x, dtype=np.uint64)
-    return (jnp.asarray((a >> np.uint64(32)).astype(np.uint32)),
-            jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+    return ((a >> np.uint64(32)).astype(np.uint32),
+            (a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
 
 
 _RC = _tbl(pos.ALL_ROUND_CONSTANTS.reshape(30, W))          # (30, 12)

@@ -96,7 +96,7 @@ class PolynomialBatch:
         self.log_n = log_n
         self.hasher = hasher
 
-        if hasher == "bn128":
+        if hasher in ("bn128", "fr"):
             # Wrap-config commitment (PoseidonBN128GoldilocksConfig outer
             # hash, crypto/plonky2_bn128/src/config.rs:21): LDE as usual,
             # Merkle nodes in BN254-Fr via the native C++ kernels.
@@ -190,7 +190,7 @@ class PolynomialBatch:
     @property
     def cap(self):
         """Cap in transcript form: (m, 4) GL digests, or Fr ints (bn128)."""
-        if self.hasher == "bn128":
+        if self.hasher in ("bn128", "fr"):
             from ..hash.poseidon_bn128 import fr_limbs_to_int
             return [fr_limbs_to_int(row) for row in self.cap_u64]
         return self.cap_u64
@@ -203,7 +203,7 @@ class PolynomialBatch:
         for level in self.levels_u64[:-1]:
             sibs.append(level[idx ^ 1])
             idx >>= 1
-        if self.hasher == "bn128":
+        if self.hasher in ("bn128", "fr"):
             from ..hash.poseidon_bn128 import fr_limbs_to_int
             return self.leaves_u64[leaf_index], \
                 [fr_limbs_to_int(s) for s in sibs]
@@ -242,7 +242,7 @@ class ExtPolynomialBatch:
         leaves = v.reshape(num_leaves, arity * 2)
         self.leaves_u64 = leaves
         self.hasher = hasher
-        if hasher == "bn128":
+        if hasher in ("bn128", "fr"):
             from ..hash import poseidon_bn128 as pb
             self.levels_u64 = pb.merkle_levels_bn128(
                 np.ascontiguousarray(leaves), cap_height)
@@ -257,7 +257,7 @@ class ExtPolynomialBatch:
 
     @property
     def cap(self):
-        if self.hasher == "bn128":
+        if self.hasher in ("bn128", "fr"):
             from ..hash.poseidon_bn128 import fr_limbs_to_int
             return [fr_limbs_to_int(row) for row in self.cap_u64]
         return self.cap_u64
@@ -268,7 +268,7 @@ class ExtPolynomialBatch:
         for level in self.levels_u64[:-1]:
             sibs.append(level[idx ^ 1])
             idx >>= 1
-        if self.hasher == "bn128":
+        if self.hasher in ("bn128", "fr"):
             from ..hash.poseidon_bn128 import fr_limbs_to_int
             return self.leaves_u64[leaf_index], \
                 [fr_limbs_to_int(s) for s in sibs]

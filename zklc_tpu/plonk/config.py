@@ -80,6 +80,21 @@ class CircuitConfig:
         return CircuitConfig(hasher="bn128")
 
     @staticmethod
+    def fr_wrap_config() -> "CircuitConfig":
+        """The in-repo-Groth16 wrap flavor: BN254-native transcript
+        (hash.poseidon_bn128.FrChallenger) + Fr Merkle caps, with FRI
+        parameters chosen to MINIMIZE THE R1CS VERIFIER (wrap/verifier_r1cs):
+        high rate -> few queries, small arity -> cheap in-circuit coset
+        interpolation, tall caps -> short Merkle paths, tiny PoW (query
+        count carries the security budget: 14 x 7 + 8 = 106 bits).  The
+        "bn128" flavor remains the gnark-compatible one."""
+        return CircuitConfig(
+            hasher="fr",
+            fri_config=FriConfig(rate_bits=7, cap_height=5,
+                                 proof_of_work_bits=8, arity_bits=2,
+                                 final_poly_bits=5, num_query_rounds=14))
+
+    @staticmethod
     def standard_ecc_config() -> "CircuitConfig":
         return CircuitConfig(num_wires=136)
 

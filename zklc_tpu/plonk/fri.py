@@ -73,6 +73,9 @@ def grind_pow(challenger: pos.Challenger, pow_bits: int,
     permutation per candidate, vectorized over the batch axis (the reference
     grinds sequentially on CPU threads; SURVEY.md §7 maps this to a batch
     kernel).  On the CPU backend the native C++ grind loop is used."""
+    from ..hash import poseidon_bn128 as pb
+    if isinstance(challenger, pb.FrChallenger):
+        return pb.grind_pow_fr(challenger, pow_bits)
     from ..ops import poseidon_tpu
     base_state = challenger.sponge_state.copy()
     buf = list(challenger.input_buffer)

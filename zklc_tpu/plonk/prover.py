@@ -42,7 +42,7 @@ def ensure_constants_sigmas_commitment(data: ProverData):
                            cfg.fri_config.cap_height, hasher=cfg.hasher)
     data.constants_sigmas_commitment = comm
     from .builder import VerifierOnlyData
-    if cfg.hasher == "bn128":
+    if cfg.hasher in ("bn128", "fr"):
         # Wrap config: digest = BN128 sponge over the Fr cap (ToVec chunks)
         # + degree_bits; VerifierOnlyData carries Fr ints.
         from ..hash import poseidon_bn128 as pb
@@ -454,6 +454,10 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     if cfg.hasher == "bn128":
         from ..hash.poseidon_bn128 import BN128Challenger
         ch = BN128Challenger()
+        ch.observe_fr(data.circuit_digest)
+    elif cfg.hasher == "fr":
+        from ..hash.poseidon_bn128 import FrChallenger
+        ch = FrChallenger()
         ch.observe_fr(data.circuit_digest)
     else:
         ch = pos.Challenger()

