@@ -90,3 +90,43 @@ def test_fr_challenger_duplex_discipline():
     ch2.observe_elements([1, 2, 3, 4, 5, 6, 7, 8, 9])
     ch2.observe_element(10)      # partial slot; must reflush on squeeze
     assert ch2.get_challenge() != c0
+
+
+@pytest.fixture(scope="module")
+def statement(wrapped):
+    from zklc_tpu.wrap.verifier_r1cs import WrapVerifierR1CS
+    wdata, _ = wrapped
+    return WrapVerifierR1CS(wdata.common, wdata.verifier_only)
+
+
+def test_r1cs_statement_satisfied(statement, wrapped):
+    _, wproof = wrapped
+    st = statement
+    packed, z = st.solve(wproof)
+    r1cs = st.b.build()
+    print(f"r1cs: {len(r1cs.a)} constraints, {r1cs.num_vars} vars")
+    assert r1cs.satisfied(z)
+
+
+def test_r1cs_statement_rejects_tampered_proof(statement, wrapped):
+    import copy
+    _, wproof = wrapped
+    st = statement
+    bad = copy.copy(wproof)
+    import dataclasses
+    o = wproof.openings
+    wires = np.array(o.wires)
+    wires[0] = (wires[0] + 1) % np.uint64(2**64 - 2**32 + 1)
+    bad.openings = dataclasses.replace(o, wires=wires)
+    packed, z = st.solve(bad)
+    assert not st.b.build().satisfied(z)
+
+
+def test_r1cs_statement_rejects_wrong_public(statement, wrapped):
+    _, wproof = wrapped
+    st = statement
+    packed, wvals = st.assign(wproof)
+    packed = list(packed)
+    packed[0] ^= 1 << 32        # flip a bit of PI word
+    z = st.b.solve(packed, wvals)
+    assert not st.b.build().satisfied(z)

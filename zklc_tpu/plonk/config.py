@@ -86,13 +86,13 @@ class CircuitConfig:
         parameters chosen to MINIMIZE THE R1CS VERIFIER (wrap/verifier_r1cs):
         high rate -> few queries, small arity -> cheap in-circuit coset
         interpolation, tall caps -> short Merkle paths, tiny PoW (query
-        count carries the security budget: 14 x 7 + 8 = 106 bits).  The
+        count carries the security budget: 12 x 8 + 8 = 104 bits).  The
         "bn128" flavor remains the gnark-compatible one."""
         return CircuitConfig(
             hasher="fr",
-            fri_config=FriConfig(rate_bits=7, cap_height=5,
+            fri_config=FriConfig(rate_bits=8, cap_height=5,
                                  proof_of_work_bits=8, arity_bits=2,
-                                 final_poly_bits=5, num_query_rounds=14))
+                                 final_poly_bits=5, num_query_rounds=12))
 
     @staticmethod
     def standard_ecc_config() -> "CircuitConfig":

@@ -83,6 +83,7 @@ class R1CSBuilder:
         self.c: list[LC] = []
         self.hints: list[Hint] = []
         self._pub_vars: list[int] = []
+        self._winputs: list[int] = []
 
     # -- variables -----------------------------------------------------------
     def new_var(self) -> int:
@@ -98,6 +99,14 @@ class R1CSBuilder:
         v = self.new_var()
         self.num_pub += 1
         self._pub_vars.append(v)
+        return v
+
+    def witness_input(self) -> int:
+        """A private variable whose value is supplied directly to solve()
+        (the proof bytes of the wrap statement).  Values are installed
+        before any hint runs."""
+        v = self.new_var()
+        self._winputs.append(v)
         return v
 
     def add_hint(self, fn, deps: list, nouts: int) -> list[int]:
@@ -207,14 +216,19 @@ class R1CSBuilder:
         return R1CS(num_vars=self.num_vars, num_pub=self.num_pub,
                     a=self.a, b=self.b, c=self.c)
 
-    def solve(self, pub_values: list[int]) -> list[int]:
-        """Compute the full witness z from the public inputs by replaying
-        hints in allocation order."""
+    def solve(self, pub_values: list[int],
+              witness_values: list[int] = ()) -> list[int]:
+        """Compute the full witness z from the public inputs (+ the
+        witness_input values, in allocation order) by replaying hints."""
         z = [0] * self.num_vars
         z[0] = 1
         assert len(pub_values) == self.num_pub
         for v, val in zip(self._pub_vars, pub_values):
             z[v] = val % R
+        assert len(witness_values) == len(self._winputs), \
+            f"expected {len(self._winputs)} witness inputs"
+        for v, val in zip(self._winputs, witness_values):
+            z[v] = int(val) % R
 
         def ev(lc: LC) -> int:
             return sum(c * z[v] for v, c in lc.items()) % R
