@@ -20,6 +20,9 @@ from zklc_tpu.near.signatures import generate_signed_message
 from zklc_tpu.plonk import prover, verifier
 from zklc_tpu.plonk.witness import WitnessConflict
 
+
+pytestmark = pytest.mark.heavy
+
 ITERS = int(os.environ.get("ZKLC_FUZZ_ITERS", "3"))
 rng = np.random.default_rng(0xF422)
 

@@ -18,6 +18,9 @@ import pytest
 from zklc_tpu.near import utils as U, bft as B, signatures as S
 
 
+
+pytestmark = pytest.mark.heavy
+
 class _ApprovalsView:
     """Header proxy replacing the approvals list (subset testing)."""
 

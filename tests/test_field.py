@@ -5,6 +5,9 @@ import pytest
 from zklc_tpu.field import gl64
 from zklc_tpu.field import gl2x32 as gl
 
+pytestmark = pytest.mark.smoke
+
+
 P = gl64.P
 rng = np.random.default_rng(0xA11CE)
 

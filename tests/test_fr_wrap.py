@@ -14,6 +14,9 @@ from zklc_tpu.wrap import fr_wrap
 from zklc_tpu.wrap.gnark_oracle import OracleError
 
 
+
+pytestmark = pytest.mark.heavy
+
 def small_fr_config():
     """fr transcript flavor with test-sized FRI (full-size fr_wrap_config
     pushes LDE to 2^20 — production shape, exercised by the wrap bench)."""

@@ -122,6 +122,7 @@ def test_epoch_checkpoint_storage(contract):
     assert c.epoch_hashes[5] == (b"c" * 32, b"d" * 32)
 
 
+@pytest.mark.heavy
 def test_pi_packing_statement_groth16():
     """The deployed-interface statement (16 u32 words -> 4 BN254 PIs,
     web-api.go:50-66) proven and verified under Groth16 for real."""

@@ -38,6 +38,7 @@ def test_header_hash_epoch_mode():
     assert got == HH.expected_public_inputs(h, "epoch")
 
 
+@pytest.mark.heavy
 def test_header_hash_bucketed_variable_length():
     """Shape bucketing (SURVEY §7.4.6): headers of different inner_rest
     lengths share ONE circuit per (bucket, offsets) class; the variable-

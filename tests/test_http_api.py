@@ -15,6 +15,9 @@ from zklc_tpu.service.http_api import ProofApi, make_server
 from zklc_tpu.service.metrics import Metrics
 from zklc_tpu.service.orchestrator import Orchestrator, ProofStatus, StatusStore
 
+pytestmark = pytest.mark.smoke
+
+
 
 class StubOrchestrator(Orchestrator):
     """Orchestrator with the proving edge replaced (RISC0_DEV_MODE shape)."""

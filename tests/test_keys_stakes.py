@@ -51,6 +51,7 @@ def _prove_ks(validators, valid_indices):
     return data, proof, borsh
 
 
+@pytest.mark.heavy
 def test_keys_stakes_digest_public_inputs():
     vals = _mk_validators([700, 100, 300])
     data, proof, borsh = _prove_ks(vals, (0, 2))
@@ -92,6 +93,7 @@ def _bind_agg(ks_data, ks_proof, ep_data, ep_proof, n_vk_pis, n_val_pis):
     check_constraints(agg, wr)
 
 
+@pytest.mark.heavy
 def test_bp_hash_binding_accepts_committed_validators():
     vals = _mk_validators([700, 100, 300])
     ks_data, ks_proof, borsh = _prove_ks(vals, (0, 2))
@@ -101,6 +103,7 @@ def test_bp_hash_binding_accepts_committed_validators():
               2 * 33, sum(len(x) for x in borsh))
 
 
+@pytest.mark.heavy
 def test_bp_hash_binding_rejects_inflated_stake():
     """VERDICT #2 negative test: inflate a signer's stake (2/3 still holds,
     so the two-thirds constraint alone would NOT catch it) — the digest no

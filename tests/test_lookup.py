@@ -197,6 +197,7 @@ def test_ffmul_scalar_field_reduce512(ff_small_config):
     assert rv == v % ED25519_SCALAR_L
 
 
+@pytest.mark.heavy
 def test_device_prover_matches_host_on_lookup_circuit():
     """prover_tpu must produce byte-identical lookup proofs (CPU backend)."""
     from zklc_tpu.plonk import prover_tpu
@@ -216,6 +217,7 @@ def test_device_prover_matches_host_on_lookup_circuit():
     assert verifier.verify(p_dev, data.verifier_only, data.common)
 
 
+@pytest.mark.heavy
 def test_recursive_verifier_accepts_lookup_proof():
     """The in-circuit verifier must handle LogUp proofs: deltas in the
     transcript, lookup vanishing terms, extended FRI batches."""
@@ -249,6 +251,7 @@ def test_recursive_verifier_accepts_lookup_proof():
         testing.check_constraints(rdata, wr)
 
 
+@pytest.mark.heavy
 def test_batch_leaf_pi_layout_matches_singles():
     """A K-slot batch leaf must expose the same flat PI layout as K single
     leaves in slot order (the block_finality word binding relies on it)."""

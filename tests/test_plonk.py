@@ -8,6 +8,9 @@ from zklc_tpu.plonk.config import CircuitConfig
 from zklc_tpu.plonk import prover, verifier
 from zklc_tpu.plonk.verifier import VerificationError
 
+pytestmark = pytest.mark.smoke
+
+
 
 def build_mul_add_circuit():
     b = CircuitBuilder(CircuitConfig.standard_recursion_config())

@@ -1,3 +1,4 @@
+import pytest
 """Device-resident prover (prover_tpu.py) must produce BYTE-IDENTICAL proofs
 to the host prover — same transcript, same openings, same FRI data.  Runs on
 the CPU backend here; on real TPU hardware the same code path is the default
@@ -49,6 +50,7 @@ def _assert_proofs_equal(p1, p2):
             assert np.array_equal(st1.siblings, st2.siblings)
 
 
+@pytest.mark.heavy
 def test_device_prover_matches_host_prover():
     data, inputs = _build_circuit()
     p_host = prover.prove(data, dict(inputs))

@@ -16,6 +16,9 @@ import pytest
 
 from zklc_tpu.plonk import serialization as S
 
+pytestmark = pytest.mark.smoke
+
+
 TESTDATA = "/root/reference/gnark-plonky2-verifier/testdata/test_circuit"
 
 

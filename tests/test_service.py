@@ -9,6 +9,9 @@ from zklc_tpu.service.tasks import InputTask, OutputTask
 from zklc_tpu.service.queue import run_queue, TaskFailed
 from zklc_tpu.service.orchestrator import StatusStore, ProofStatus
 
+pytestmark = pytest.mark.smoke
+
+
 
 def test_task_json_round_trip():
     t = InputTask(message=b"m", approval=b"a" * 65, validator=b"v" * 80,

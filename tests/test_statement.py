@@ -12,6 +12,9 @@ import pytest
 from zklc_tpu.near import utils as U
 from zklc_tpu.near import statement as ST
 
+pytestmark = pytest.mark.smoke
+
+
 
 def _random_inputs():
     eps = U.ordered_epochs()

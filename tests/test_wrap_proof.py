@@ -17,6 +17,9 @@ from zklc_tpu.wrap.wrap import wrap_proof, wrap_and_verify, \
 from zklc_tpu.wrap.gnark_oracle import GnarkOracle, OracleError
 from zklc_tpu.wrap import api
 
+pytestmark = pytest.mark.heavy
+
+
 
 @pytest.fixture(scope="module")
 def inner():
