@@ -132,3 +132,110 @@ def test_fuzz_eddsa_fill_constraints():
             EddsaOps.fill_eddsa(tgs[0], msg, bytes(bad), pk, inputs_bad)
             wr = generate_witness(data, inputs_bad)
             check_constraints(data, wr)
+
+
+# -- fuzz/prove_block_data/u32u8.rs -------------------------------------------
+
+def test_fuzz_u32_byte_packing():
+    """vec_u32_to_u8 equivalent: the repo's u32->byte packings (borsh
+    helpers + digest unpacking) round-trip for arbitrary limb vectors."""
+    from zklc_tpu.near.types import _u32
+    for _ in range(ITERS * 8):
+        n = int(rng.integers(0, 100))
+        limbs = [int(x) for x in rng.integers(0, 2**32, size=n,
+                                              dtype=np.uint64)]
+        packed = b"".join(_u32(v) for v in limbs)
+        assert len(packed) == 4 * n
+        assert [int.from_bytes(packed[4 * i:4 * i + 4], "little")
+                for i in range(n)] == limbs
+
+
+# -- fuzz/prove_crypto/prove_sub_hashes.rs ------------------------------------
+
+def test_fuzz_sub_hashes_header_dag():
+    """The header-hash DAG (the repo's prove_sub_hashes equivalent:
+    sha256(sha256(lite) || sha256(rest)) then || prev_hash, all bound
+    in-circuit — near/header_hash.py vs prove_crypto/sha256.rs:105): random
+    inner_lite/inner_rest/prev_hash bytes through build+prove+verify, with
+    the digest PIs checked against hashlib."""
+    from zklc_tpu.near import header_hash as HH
+
+    for _ in range(max(1, ITERS // 3)):
+        lite = _rand_bytes(208)
+        rest_len = int(rng.integers(40, 200))
+        rest = _rand_bytes(rest_len)
+        prev = _rand_bytes(32)
+        data, tg = HH.build_header_hash_circuit(rest_len, mode="epoch")
+        inputs = {}
+        from zklc_tpu.gadgets.sha256 import Sha256Ops
+        for t, w in zip(tg.lite_input.input.limbs,
+                        Sha256Ops.sha256_pad_words(
+                            lite, tg.lite_input.input_bits)):
+            inputs[t] = np.uint64(w)
+        for t, w in zip(tg.rest_input.input.limbs,
+                        Sha256Ops.sha256_pad_words(
+                            rest, tg.rest_input.input_bits)):
+            inputs[t] = np.uint64(w)
+        for i, t in enumerate(tg.prev_hash_limbs):
+            inputs[t] = np.uint64(
+                int.from_bytes(prev[4 * i:4 * i + 4], "big"))
+        proof = prover.prove(data, inputs)
+        verifier.verify(proof, data.verifier_only, data.common)
+        inner = hashlib.sha256(
+            hashlib.sha256(lite).digest() + hashlib.sha256(rest).digest()
+        ).digest()
+        want = hashlib.sha256(inner + prev).digest()
+        got = bytes(int(v) for v in proof.public_inputs[:32])
+        assert got == want
+
+
+# -- fuzz/prove_crypto/ed25519_proof.rs (FULL prove) --------------------------
+
+def test_fuzz_ed25519_full_prove():
+    """One complete EdDSA leaf prove+verify on a random message/key — the
+    reference's ed25519_proof.rs surface at full proof depth."""
+    from zklc_tpu.gadgets import ed25519_native as ed
+    from zklc_tpu.near.signatures import get_ed25519_circuit
+    from zklc_tpu.gadgets.eddsa import EddsaOps
+
+    seed = _rand_bytes(32)
+    sk, pk = ed.keypair_from_seed(seed)
+    msg = generate_signed_message(
+        int(rng.integers(1, 2**40)), int(rng.integers(1, 2**40)),
+        _rand_bytes(32))
+    sig = ed.sign_message(msg, seed)
+    data, ops, tgs = get_ed25519_circuit(len(msg), 1)
+    inputs = {}
+    EddsaOps.fill_eddsa(tgs[0], msg, sig, pk, inputs)
+    proof = prover.prove(data, inputs)
+    verifier.verify(proof, data.verifier_only, data.common)
+
+
+# -- fuzz/prove_crypto/ed25519_circuit_targets_caching.rs +
+#    ed25519_proof_reuse_circuit.rs ------------------------------------------
+
+def test_fuzz_ed25519_circuit_cache_reuse():
+    """The per-(msg_len, K) circuit cache returns the identical object, a
+    different shape gets a different circuit, and one cached circuit
+    witnesses many random signatures (ed25519.rs:18-65 semantics)."""
+    from zklc_tpu.gadgets import ed25519_native as ed
+    from zklc_tpu.near.signatures import get_ed25519_circuit
+    from zklc_tpu.gadgets.eddsa import EddsaOps
+    from zklc_tpu.plonk.witness import generate_witness
+    from zklc_tpu.plonk.testing import check_constraints
+
+    msg = generate_signed_message(7, 8, _rand_bytes(32))
+    d1, _, t1 = get_ed25519_circuit(len(msg), 1)
+    d2, _, t2 = get_ed25519_circuit(len(msg), 1)
+    assert d1 is d2 and t1 is t2, "cache must return the same circuit"
+    d3, _, _ = get_ed25519_circuit(len(msg) + 8, 1)
+    assert d3 is not d1, "different length -> different circuit"
+
+    for _ in range(max(2, ITERS // 2)):
+        seed = _rand_bytes(32)
+        _, pk = ed.keypair_from_seed(seed)
+        sig = ed.sign_message(msg, seed)
+        inputs = {}
+        EddsaOps.fill_eddsa(t1[0], msg, sig, pk, inputs)
+        wr = generate_witness(d1, inputs)
+        check_constraints(d1, wr)

@@ -22,22 +22,7 @@ from dataclasses import dataclass, field
 
 from . import groth16 as G
 
-try:
-    from Crypto.Hash import keccak as _keccak          # pycryptodome
-
-    def _keccak256(data: bytes) -> bytes:
-        h = _keccak.new(digest_bits=256)
-        h.update(data)
-        return h.digest()
-except Exception:                                       # pragma: no cover
-    import hashlib
-
-    def _keccak256(data: bytes) -> bytes:
-        try:
-            return hashlib.new("sha3_256_keccak", data).digest()
-        except Exception:
-            # storage-key hash only needs injectivity inside the model
-            return hashlib.sha256(b"keccak:" + data).digest()
+from ..utils.keccak import keccak256 as _keccak256      # real Keccak-256
 
 
 class NotOwner(Exception):
@@ -113,6 +98,11 @@ class NearBlockVerificationModel:
         if height > self.latest_checkpoint:
             self.latest_checkpoint = height
             self.events.append(("CheckpointUpdated", height))
+
+    def get_epoch_hashes_by_height(self, height: int):
+        """(previousHash, currentHash) bytes pair (eth-helper.ts:396)."""
+        prev, cur = self.epoch_hashes[height]
+        return bytes(prev), bytes(cur)
 
     @staticmethod
     def _key(w0: int, w1: int) -> bytes:
