@@ -191,6 +191,10 @@ def test_fuzz_sub_hashes_header_dag():
 
 # -- fuzz/prove_crypto/ed25519_proof.rs (FULL prove) --------------------------
 
+@pytest.mark.skipif(ITERS < 10 and os.environ.get("ZKLC_FUZZ_FULL") != "1",
+                    reason="full 2^16-row leaf prove (~5 min CPU): soak "
+                           "tier only — ZKLC_FUZZ_FULL=1 or "
+                           "ZKLC_FUZZ_ITERS>=10")
 def test_fuzz_ed25519_full_prove():
     """One complete EdDSA leaf prove+verify on a random message/key — the
     reference's ed25519_proof.rs surface at full proof depth."""
