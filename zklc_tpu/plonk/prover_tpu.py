@@ -146,11 +146,15 @@ def put_wires_async(wires_t_u64: np.ndarray):
 
 
 class DeviceCommitment:
-    """Device-resident PolynomialBatch: lde + Merkle levels stay in HBM."""
+    """Device-resident PolynomialBatch: lde + Merkle levels stay in HBM.
+
+    With ``mesh`` set, the LDE + Merkle build runs through shard_map over
+    the device mesh (parallel/sharded.sharded_commit) — same outputs,
+    distributed compute."""
 
     def __init__(self, values_u64: np.ndarray, rate_bits: int,
                  cap_height: int, values_are_coeffs: bool = False,
-                 dev_values=None):
+                 dev_values=None, mesh=None):
         if dev_values is not None:
             vals = dev_values
         else:
@@ -160,8 +164,16 @@ class DeviceCommitment:
         self.log_n = (n - 1).bit_length()
         self.rate_bits = rate_bits
         self.cap_height = cap_height
-        self.lde, self.levels = _commit_kernel(
-            vals, self.log_n, rate_bits, cap_height, values_are_coeffs)
+        if mesh is not None:
+            from ..parallel import sharded
+            n_dev = mesh.shape[mesh.axis_names[0]]
+            fn = sharded.sharded_commit(mesh, self.num_polys, self.log_n,
+                                        rate_bits, cap_height,
+                                        values_are_coeffs)
+            self.lde, self.levels = fn(sharded.pad_poly_batch(vals, n_dev))
+        else:
+            self.lde, self.levels = _commit_kernel(
+                vals, self.log_n, rate_bits, cap_height, values_are_coeffs)
         self.cap_u64 = gl.to_u64_np(self.levels[-1])
 
     @property
@@ -392,7 +404,7 @@ def _pull_many(pairs) -> list:
 # the prover
 # ---------------------------------------------------------------------------
 
-def ensure_cs_device(data: ProverData):
+def ensure_cs_device(data: ProverData, mesh=None):
     """Device constants+sigmas commitment (cached); fills circuit digest /
     verifier data exactly like prover.ensure_constants_sigmas_commitment."""
     if getattr(data, "_tpu_cs", None) is not None:
@@ -401,7 +413,7 @@ def ensure_cs_device(data: ProverData):
     mat = np.concatenate([data.constants_rows, data.sigmas_rows], axis=1).T
     comm = DeviceCommitment(np.ascontiguousarray(mat),
                             cfg.fri_config.rate_bits,
-                            cfg.fri_config.cap_height)
+                            cfg.fri_config.cap_height, mesh=mesh)
     data._tpu_cs = comm
     if data.circuit_digest is None:
         digest_input = np.concatenate(
@@ -734,7 +746,7 @@ def _phase_timer():
     return mark
 
 
-def prove(data: ProverData, inputs: dict) -> Proof:
+def prove(data: ProverData, inputs: dict, mesh=None) -> Proof:
     common = data.common
     cfg = common.config
     fp: FriParams = common.fri_params
@@ -743,7 +755,7 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     lde_bits = fp.lde_bits
     mark = _phase_timer()
 
-    cs_comm = ensure_cs_device(data)
+    cs_comm = ensure_cs_device(data, mesh=mesh)
 
     # 1. witness + wires commitment
     wr = generate_witness(data, inputs)
@@ -758,9 +770,13 @@ def prove(data: ProverData, inputs: dict) -> Proof:
         m_cols = lk_mod.compute_multiplicities(common.lookup, wires,
                                                data.constants_rows)
         wires = np.concatenate([wires, m_cols], axis=1)
-    wires_dev = put_wires_async(np.ascontiguousarray(wires.T))
-    wires_comm = DeviceCommitment(None, fc.rate_bits, fc.cap_height,
-                                  dev_values=wires_dev())
+    if mesh is not None:
+        wires_comm = DeviceCommitment(np.ascontiguousarray(wires.T),
+                                      fc.rate_bits, fc.cap_height, mesh=mesh)
+    else:
+        wires_dev = put_wires_async(np.ascontiguousarray(wires.T))
+        wires_comm = DeviceCommitment(None, fc.rate_bits, fc.cap_height,
+                                      dev_values=wires_dev())
     mark("wires_comm", wires_comm.lde)
 
     # 2. transcript
@@ -782,7 +798,8 @@ def prove(data: ProverData, inputs: dict) -> Proof:
             cfg.num_wires)
         zs_pp = np.concatenate([zs_pp, lk_cols], axis=0)
     mark("zs_pp host")
-    zs_pp_comm = DeviceCommitment(zs_pp, fc.rate_bits, fc.cap_height)
+    zs_pp_comm = DeviceCommitment(zs_pp, fc.rate_bits, fc.cap_height,
+                                  mesh=mesh)
     ch.observe_cap(zs_pp_comm.cap_u64)
     alphas = ch.get_n_challenges(cfg.num_challenges)
     mark("zs_pp_comm", zs_pp_comm.lde)
@@ -806,7 +823,7 @@ def prove(data: ProverData, inputs: dict) -> Proof:
     chunks = _quotient_coeff_kernel(qvals, lde_bits, fc.rate_bits, n)
     quotient_comm = DeviceCommitment(None, fc.rate_bits, fc.cap_height,
                                      values_are_coeffs=True,
-                                     dev_values=chunks)
+                                     dev_values=chunks, mesh=mesh)
     ch.observe_cap(quotient_comm.cap_u64)
     mark("quotient+commit", quotient_comm.lde)
     zeta = np.array(ch.get_extension_challenge(), dtype=np.uint64)
