@@ -56,7 +56,11 @@ def _ntt_core(x, log_n: int, inverse: bool):
     """x: (hi, lo) with last axis n = 2^log_n. Returns transformed (hi, lo)."""
     n = 1 << log_n
     hi, lo = x
-    rev = jnp.asarray(_bit_rev_indices(log_n))
+    # NB: constant tables stay NUMPY — a jnp.asarray here would create a
+    # committed device array that jit lowering must pull BACK through the
+    # tunnel to embed as an MLIR constant (device->host is the slow/fragile
+    # direction); numpy constants embed directly.
+    rev = _bit_rev_indices(log_n)
     hi = jnp.take(hi, rev, axis=-1)
     lo = jnp.take(lo, rev, axis=-1)
     lead = hi.shape[:-1]
@@ -64,8 +68,7 @@ def _ntt_core(x, log_n: int, inverse: bool):
     for s in range(1, log_n + 1):
         m = 1 << s
         half = m // 2
-        tw_hi = jnp.asarray(tws[s - 1][0])
-        tw_lo = jnp.asarray(tws[s - 1][1])
+        tw_hi, tw_lo = tws[s - 1]
         hi = hi.reshape(lead + (n // m, m))
         lo = lo.reshape(lead + (n // m, m))
         u = (hi[..., :half], lo[..., :half])
@@ -123,7 +126,7 @@ def _coset_powers(log_n: int, shift: int) -> tuple:
 def coset_ntt(coeffs, log_n: int, shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
     """Evaluate poly on the coset shift * <g>: scale coeff i by shift^i, then NTT."""
     ph, plo = _coset_powers(log_n, shift)
-    scaled = gl.mul(coeffs, (jnp.asarray(ph), jnp.asarray(plo)))
+    scaled = gl.mul(coeffs, (ph, plo))
     return ntt(scaled, log_n)
 
 
@@ -133,7 +136,7 @@ def coset_intt(values, log_n: int, shift: int = gl64.MULTIPLICATIVE_GROUP_GENERA
     coeffs = intt(values, log_n)
     inv_shift = pow(shift, gl64.P - 2, gl64.P)
     ph, plo = _coset_powers(log_n, inv_shift)
-    return gl.mul(coeffs, (jnp.asarray(ph), jnp.asarray(plo)))
+    return gl.mul(coeffs, (ph, plo))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

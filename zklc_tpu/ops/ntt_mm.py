@@ -156,7 +156,7 @@ def _dft_matmul(x: gl.GL, log_n: int, inverse: bool) -> gl.GL:
     """Direct DFT over the LAST axis via limb matmuls; x: (..., n)."""
     n = 1 << log_n
     digits_np, corr0 = _dft_tables(log_n, inverse)
-    Wd = jnp.asarray(digits_np)                 # (9, n, n) int8
+    Wd = digits_np   # (9, n, n) int8 — numpy constant; see ntt.py NB
     lead = x[0].shape[:-1]
     cols = int(np.prod(lead, dtype=np.int64)) if lead else 1
     xb = _to_centered_bytes(x)                  # (8, *lead, n)
@@ -202,7 +202,7 @@ def _ntt_mm_core(x: gl.GL, log_n: int, inverse: bool) -> gl.GL:
         A = (jnp.swapaxes(A[0], -1, -2), jnp.swapaxes(A[1], -1, -2))
         # twiddle: A[k2, j1] *= w^(j1*k2)
         th, tl = _twiddle_planes(l1, l2, inverse)
-        A = gl.mul(A, (jnp.asarray(th), jnp.asarray(tl)))
+        A = gl.mul(A, (th, tl))
         # outer DFT over j1 (last axis)
         Yp = _dft_matmul(A, l1, inverse)             # (..., n2, k1)
         # out[k2 + n2*k1] = Y'[k2, k1]  ->  out.reshape(n1, n2)[k1, k2]

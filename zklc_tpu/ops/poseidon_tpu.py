@@ -32,12 +32,15 @@ from ..hash.poseidon import (
 
 N_ROUNDS = 2 * HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS
 
-# Constant tables as uint32 planes.
+# Constant tables as uint32 planes.  They stay NUMPY: a module-level
+# jnp.asarray would be a committed device array, and every jit lowering
+# that closes over it must pull its value BACK from the device to embed it
+# as an MLIR constant — the slow/fragile direction of the tunneled link.
 _RC = ALL_ROUND_CONSTANTS.reshape(N_ROUNDS, WIDTH)
-_RC_HI = jnp.asarray((_RC >> np.uint64(32)).astype(np.uint32))
-_RC_LO = jnp.asarray((_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-_MDS_HI = jnp.asarray((MDS_MATRIX >> np.uint64(32)).astype(np.uint32))
-_MDS_LO = jnp.asarray((MDS_MATRIX & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+_RC_HI = (_RC >> np.uint64(32)).astype(np.uint32)
+_RC_LO = (_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+_MDS_HI = (MDS_MATRIX >> np.uint64(32)).astype(np.uint32)
+_MDS_LO = (MDS_MATRIX & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
 
 def _sbox(x):
@@ -70,7 +73,7 @@ def _tree_sum(x, axis=-1):
     return (jnp.squeeze(hi, axis=axis), jnp.squeeze(lo, axis=axis))
 
 
-_MDS_T_I32 = jnp.asarray(MDS_MATRIX.astype(np.int64).T.astype(np.int32))
+_MDS_T_I32 = MDS_MATRIX.astype(np.int64).T.astype(np.int32)
 
 
 def _mds_layer_planes(state):

@@ -216,14 +216,14 @@ def sharded_commit(mesh: Mesh, num_polys: int, log_n: int, rate_bits: int,
         chi = jnp.concatenate([coeffs[0], z], axis=-1)
         clo = jnp.concatenate([coeffs[1], z], axis=-1)
         cp = ntt_ops._coset_powers(lde_bits, shift)
-        scaled = gl.mul((chi, clo), (jnp.asarray(cp[0]), jnp.asarray(cp[1])))
+        scaled = gl.mul((chi, clo), cp)      # numpy constants; see ntt.py NB
         lde_loc = ntt_ops._ntt_core(scaled, lde_bits, inverse=False)
         # replicate the poly axis (ICI all_gather), drop padding rows
         lh = jax.lax.all_gather(lde_loc[0], axis, tiled=True)[:num_polys]
         ll = jax.lax.all_gather(lde_loc[1], axis, tiled=True)[:num_polys]
         # domain-sharded Merkle: this chip's bit-reversed leaf block
         d = jax.lax.axis_index(axis)
-        sel = jax.lax.dynamic_slice_in_dim(jnp.asarray(rev_np), d * b, b)
+        sel = jax.lax.dynamic_slice_in_dim(rev_np, d * b, b)
         leaves = (jnp.take(lh, sel, axis=-1).T,
                   jnp.take(ll, sel, axis=-1).T)          # (b, P)
         cur = poseidon_tpu.hash_or_noop_batch(leaves)

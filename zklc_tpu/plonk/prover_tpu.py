@@ -117,9 +117,9 @@ def _commit_kernel(vals, log_n: int, rate_bits: int, cap_height: int,
     clo = jnp.concatenate([coeffs[1], jnp.zeros((P, M - n), jnp.uint32)], -1)
     cp = ntt_ops._coset_powers(log_n + rate_bits,
                                gl64.MULTIPLICATIVE_GROUP_GENERATOR)
-    scaled = gl.mul((chi, clo), (jnp.asarray(cp[0]), jnp.asarray(cp[1])))
+    scaled = gl.mul((chi, clo), cp)          # numpy constants; see ntt.py NB
     lde = _ntt_chunked(scaled, log_n + rate_bits, inverse=False)
-    rev = jnp.asarray(bit_rev_perm(log_n + rate_bits))
+    rev = bit_rev_perm(log_n + rate_bits)
     levels = _merkle_from_lde(lde, rev, cap_height)
     return lde, levels
 
@@ -312,7 +312,7 @@ def _fri_tree_kernel(cur, arity_bits: int, cap_height: int):
     """Commit tree for current values GL2 (M,): leaves are bit-reversed
     arity-cosets, flattened [re, im] pairs (cf. ExtPolynomialBatch)."""
     M = cur[0][0].shape[0]
-    rev = jnp.asarray(bit_rev_perm((M - 1).bit_length()))
+    rev = bit_rev_perm((M - 1).bit_length())
     arity = 1 << arity_bits
     m = M // arity
 
@@ -722,7 +722,7 @@ def _quotient_coeff_kernel(qvals, lde_bits: int, rate_bits: int, n: int):
     coeffs = _ntt_chunked(qvals, lde_bits, inverse=True)
     inv_shift = pow(gl64.MULTIPLICATIVE_GROUP_GENERATOR, gl64.P - 2, gl64.P)
     cp = ntt_ops._coset_powers(lde_bits, inv_shift)
-    coeffs = gl.mul(coeffs, (jnp.asarray(cp[0]), jnp.asarray(cp[1])))
+    coeffs = gl.mul(coeffs, cp)
     nc = coeffs[0].shape[0]
     rate = 1 << rate_bits
     return (coeffs[0].reshape(nc * rate, n), coeffs[1].reshape(nc * rate, n))
@@ -1058,7 +1058,7 @@ def _final_coeff_kernel(vals, lf: int, shift: int):
     coeffs = ntt_ops._ntt_core(comp, lf, inverse=True)
     inv_shift = pow(shift, gl64.P - 2, gl64.P)
     cp = ntt_ops._coset_powers(lf, inv_shift)
-    return gl.mul(coeffs, (jnp.asarray(cp[0]), jnp.asarray(cp[1])))
+    return gl.mul(coeffs, cp)
 
 
 def _final_coeffs(final_vals: np.ndarray, lf: int, shift: int,
