@@ -62,7 +62,23 @@ def bench_a2a(n_dev: int, log_n: int = 14):
     return time_fn(fn, x[0], x[1])
 
 
+def bench_prover_commit(n_dev: int, num_polys: int = 16, log_n: int = 10,
+                        rate: int = 3, cap: int = 4):
+    """The PROVER's own commitment (sharded_commit — the path
+    prover_tpu.prove(mesh=...) runs for wires/zs/quotient) at mesh size
+    n_dev; strong scaling over a fixed poly batch."""
+    mesh = sharded.make_mesh(n_dev)
+    fn = sharded.sharded_commit(mesh, num_polys, log_n, rate, cap, False)
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, (1 << 64) - 2**32, size=(num_polys, 1 << log_n),
+                        dtype=np.uint64)
+    padded = sharded.pad_poly_batch(gl.from_u64_np(vals), n_dev)
+    return time_fn(fn, padded)
+
+
 def main():
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "proofs", "scaling_efficiency.json")
     n = len(jax.devices())
     t_c1 = bench_commit(1)
     t_cn = bench_commit(n)
@@ -72,17 +88,27 @@ def main():
     t_an = bench_a2a(n)
     # strong scaling: ideal divides time by N
     a2a_eff = t_a1 / (t_an * n)
-    print(json.dumps({
+    t_p1 = bench_prover_commit(1)
+    t_pn = bench_prover_commit(n)
+    result = {
         "devices": n,
+        "host_cpus": os.cpu_count(),
         "commit_weak_scaling_efficiency": round(commit_eff, 3),
         "commit_ms_1dev": round(t_c1 * 1e3, 2),
         "commit_ms_ndev_nxwork": round(t_cn * 1e3, 2),
         "ntt_a2a_strong_scaling_efficiency": round(a2a_eff, 3),
         "ntt_a2a_ms_1dev": round(t_a1 * 1e3, 2),
         "ntt_a2a_ms_ndev": round(t_an * 1e3, 2),
+        "prover_sharded_commit_strong_scaling_efficiency":
+            round(t_p1 / (t_pn * n), 3),
+        "prover_sharded_commit_ms_1dev": round(t_p1 * 1e3, 2),
+        "prover_sharded_commit_ms_ndev": round(t_pn * 1e3, 2),
         "note": "virtual CPU mesh shares host cores; mechanism check, "
                 "not ICI bandwidth",
-    }))
+    }
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

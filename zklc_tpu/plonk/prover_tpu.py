@@ -404,10 +404,45 @@ def _pull_many(pairs) -> list:
 # the prover
 # ---------------------------------------------------------------------------
 
+# HBM budget for cached constants+sigmas commitments.  Every distinct
+# circuit proved in a process used to pin its cs LDE + Merkle levels in HBM
+# forever (data._tpu_cs) — the multi-circuit BFT pipeline exhausted device
+# memory after a handful of header shapes.  An LRU with a byte budget keeps
+# the hot circuit (the reused EdDSA leaf) resident and recomputes evicted
+# ones on demand (one commit-kernel run, cheap next to a prove).
+_CS_CACHE_BUDGET = int(__import__("os").environ.get(
+    "ZKLC_CS_CACHE_BYTES", 6 * 1024**3))
+_cs_lru: "dict[int, tuple]" = {}      # id(data) -> (weakref(data), nbytes)
+
+
+def _cs_nbytes(comm: "DeviceCommitment") -> int:
+    n = 2 * comm.lde[0].size * 4
+    for lv in comm.levels:
+        n += 2 * lv[0].size * 4
+    return n
+
+
+def _cs_lru_touch(data, comm):
+    import weakref
+    key = id(data)
+    _cs_lru.pop(key, None)
+    _cs_lru[key] = (weakref.ref(data), _cs_nbytes(comm))
+    total = sum(nb for _, nb in _cs_lru.values())
+    for k in list(_cs_lru):
+        if total <= _CS_CACHE_BUDGET or k == key:
+            continue
+        ref, nb = _cs_lru.pop(k)
+        victim = ref()
+        if victim is not None:
+            victim._tpu_cs = None
+        total -= nb
+
+
 def ensure_cs_device(data: ProverData, mesh=None):
-    """Device constants+sigmas commitment (cached); fills circuit digest /
-    verifier data exactly like prover.ensure_constants_sigmas_commitment."""
+    """Device constants+sigmas commitment (LRU-cached); fills circuit digest
+    / verifier data exactly like prover.ensure_constants_sigmas_commitment."""
     if getattr(data, "_tpu_cs", None) is not None:
+        _cs_lru_touch(data, data._tpu_cs)
         return data._tpu_cs
     cfg = data.common.config
     mat = np.concatenate([data.constants_rows, data.sigmas_rows], axis=1).T
@@ -415,6 +450,7 @@ def ensure_cs_device(data: ProverData, mesh=None):
                             cfg.fri_config.rate_bits,
                             cfg.fri_config.cap_height, mesh=mesh)
     data._tpu_cs = comm
+    _cs_lru_touch(data, comm)
     if data.circuit_digest is None:
         digest_input = np.concatenate(
             [comm.cap_u64.ravel(),
