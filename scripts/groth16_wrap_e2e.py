@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if jax.default_backend() != "tpu":
+# The whole Groth16 chain is host math (C++ BN254 + numpy); default to the
+# CPU backend WITHOUT querying default_backend() first — querying would
+# initialize the tunneled axon TPU and contend with a concurrent prover.
+# Set ZKLC_GROTH16_TPU=1 to let it ride an already-initialized TPU session.
+if os.environ.get("ZKLC_GROTH16_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 
@@ -48,12 +52,20 @@ def main():
         fri_config=FriConfig(rate_bits=3, cap_height=2,
                              proof_of_work_bits=4, arity_bits=2,
                              final_poly_bits=3, num_query_rounds=8))
+    # Inner demo proof with EXACTLY 16 u32-lane public inputs — the deployed
+    # interface shape (16 GL words packed 4-per-BN254-word into the
+    # contract's uint256[4], cmd/web-api.go:50-66); the contract model's
+    # verifyProof is fixed-arity and must see 4 packed words.
     b = CircuitBuilder(CircuitConfig.standard_recursion_config())
     x, y = b.add_virtual_target(), b.add_virtual_target()
     z_t = b.mul_add(x, y, x)
-    b.register_public_inputs([x, y, z_t])
+    extras = [b.add_virtual_target() for _ in range(13)]
+    b.register_public_inputs([x, y, z_t] + extras)
     data = b.build()
-    proof = prover.prove(data, {x: 3, y: 4})
+    inner_inputs = {x: 3, y: 4}
+    for j, t in enumerate(extras):
+        inner_inputs[t] = 100 + j
+    proof = prover.prove(data, inner_inputs)
     mark("inner_proof")
 
     wdata, wproof = fr_wrap.wrap_proof_fr(data, proof, config=cfg)
