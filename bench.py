@@ -47,6 +47,27 @@ def bench_ntt():
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
+def bench_ntt_subprocess(timeout_s: float = 900.0):
+    """Run the 2^22 NTT bench in its own process, bounded by a timeout.
+
+    The TPU tunnel occasionally wedges on a single oversized transfer; the
+    flagship sig/s metric must not be hostage to it.  The child holds the
+    device exclusively while it runs (single-client tunnel discipline), so
+    the parent only initializes the TPU afterwards — killing a wedged child
+    frees the tunnel (observed behavior)."""
+    import subprocess
+    import sys as _sys
+    code = ("import sys, json; sys.path.insert(0, '.');"
+            "import bench; print(json.dumps(bench.bench_ntt()))")
+    try:
+        res = subprocess.run([_sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s, cwd=".")
+        return float(res.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def bench_ed25519():
     import os.path as p
     from zklc_tpu.near import utils as U, signatures as S
@@ -76,18 +97,21 @@ def bench_ed25519():
 
 
 def main():
-    ntt_ms = bench_ntt()
+    # NTT first, in a bounded subprocess (it holds the device while alive);
+    # the parent initializes the TPU only afterwards for the primary metric.
+    ntt_ms = bench_ntt_subprocess()
     sig_per_s, leaf_s = bench_ed25519()
+    extra = {"eddsa_batch4_leaf_s": round(leaf_s, 3)}
+    if ntt_ms is not None:
+        extra["goldilocks_ntt_2^22_ms"] = round(ntt_ms, 3)
+        extra["ntt_vs_cpu_reference"] = round(CPU_REFERENCE_NTT_MS / ntt_ms,
+                                              3)
     print(json.dumps({
         "metric": "ed25519_sig_proofs_per_sec_per_chip",
         "value": round(sig_per_s, 4),
         "unit": "sig/s",
         "vs_baseline": round(sig_per_s / CPU_REFERENCE_SIG_PER_S, 3),
-        "extra": {
-            "eddsa_batch4_leaf_s": round(leaf_s, 3),
-            "goldilocks_ntt_2^22_ms": round(ntt_ms, 3),
-            "ntt_vs_cpu_reference": round(CPU_REFERENCE_NTT_MS / ntt_ms, 3),
-        },
+        "extra": extra,
     }))
 
 

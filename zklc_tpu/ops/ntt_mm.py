@@ -152,11 +152,19 @@ def _reduce_limb_sums(S: jnp.ndarray, corr0: int) -> gl.GL:
     return acc
 
 
-def _dft_matmul(x: gl.GL, log_n: int, inverse: bool) -> gl.GL:
-    """Direct DFT over the LAST axis via limb matmuls; x: (..., n)."""
+def _dft_matmul(x: gl.GL, log_n: int, inverse: bool, Wd=None) -> gl.GL:
+    """Direct DFT over the LAST axis via limb matmuls; x: (..., n).
+
+    Wd defaults to the numpy constant digit table (embedded in the lowered
+    program — fine up to ~2^10 where it is a few MB); callers of LARGE
+    sizes pass the table as a runtime ARGUMENT instead (see ntt_mm_big):
+    multi-tens-of-MB inline constants make compile payloads the tunneled
+    backend cannot reliably swallow, while device_put of the same bytes is
+    the robust direction."""
     n = 1 << log_n
     digits_np, corr0 = _dft_tables(log_n, inverse)
-    Wd = digits_np   # (9, n, n) int8 — numpy constant; see ntt.py NB
+    if Wd is None:
+        Wd = digits_np   # numpy constant; see ntt.py NB
     lead = x[0].shape[:-1]
     cols = int(np.prod(lead, dtype=np.int64)) if lead else 1
     xb = _to_centered_bytes(x)                  # (8, *lead, n)
@@ -216,13 +224,84 @@ def _ntt_mm_core(x: gl.GL, log_n: int, inverse: bool) -> gl.GL:
     return out
 
 
-@functools.partial(jax.jit, static_argnums=1)
+# ---------------------------------------------------------------------------
+# Large transforms (>= 2^BIG_LOG): the four-step stages as SEPARATE jits
+# whose digit/twiddle tables are runtime ARGUMENTS (device_put once, cached).
+# Inline-constant tables at these sizes put tens of MB into the compile
+# payload, which the tunneled backend cannot reliably swallow; device_put is
+# the robust direction and the host->device copy happens once per process.
+# ---------------------------------------------------------------------------
+
+BIG_LOG = 21
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_table_dev(log_n: int, inverse: bool):
+    digits_np, _ = _dft_tables(log_n, inverse)
+    return jax.device_put(digits_np)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_planes_dev(l1: int, l2: int, inverse: bool):
+    th, tl = _twiddle_planes(l1, l2, inverse)
+    return jax.device_put(th), jax.device_put(tl)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _big_stage_a(hi, lo, Wd, th, tl, l2: int, inverse: bool):
+    """Inner DFT over j2 + twiddle: (..., n2, n1) -> (..., n2, n1)."""
+    xt = (jnp.swapaxes(hi, -1, -2), jnp.swapaxes(lo, -1, -2))
+    A = _dft_matmul(xt, l2, inverse, Wd=Wd)          # (..., n1, n2) over k2
+    A = (jnp.swapaxes(A[0], -1, -2), jnp.swapaxes(A[1], -1, -2))
+    return gl.mul(A, (th, tl))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _big_stage_b(Ah, Al, Wd, l1: int, log_n: int, inverse: bool):
+    """Outer DFT over j1 + output interleave: -> (..., 2^log_n)."""
+    lead = Ah.shape[:-2]
+    Yp = _dft_matmul((Ah, Al), l1, inverse, Wd=Wd)   # (..., n2, k1)
+    hi = jnp.swapaxes(Yp[0], -1, -2).reshape(lead + (1 << log_n,))
+    lo = jnp.swapaxes(Yp[1], -1, -2).reshape(lead + (1 << log_n,))
+    if inverse:
+        n_inv = pow(1 << log_n, gl64.P - 2, gl64.P)
+        hi, lo = gl.mul((hi, lo), (jnp.uint32(n_inv >> 32),
+                                   jnp.uint32(n_inv & 0xFFFFFFFF)))
+    return hi, lo
+
+
+def _ntt_mm_big(x: gl.GL, log_n: int, inverse: bool) -> gl.GL:
+    l1 = (log_n + 1) // 2
+    l2 = log_n - l1
+    assert l1 <= MAX_DFT_LOG
+    n1, n2 = 1 << l1, 1 << l2
+    lead = x[0].shape[:-1]
+    hi = x[0].reshape(lead + (n2, n1))
+    lo = x[1].reshape(lead + (n2, n1))
+    th, tl = _twiddle_planes_dev(l1, l2, inverse)
+    Ah, Al = _big_stage_a(hi, lo, _dft_table_dev(l2, inverse), th, tl,
+                          l2, inverse)
+    return _big_stage_b(Ah, Al, _dft_table_dev(l1, inverse), l1, log_n,
+                        inverse)
+
+
+_ntt_mm_jit = jax.jit(lambda x, log_n: _ntt_mm_core(x, log_n, False),
+                      static_argnums=1)
+_intt_mm_jit = jax.jit(lambda x, log_n: _ntt_mm_core(x, log_n, True),
+                       static_argnums=1)
+
+
+def _route(x, log_n: int, inverse: bool) -> gl.GL:
+    if log_n >= BIG_LOG and not isinstance(x[0], jax.core.Tracer):
+        return _ntt_mm_big(x, log_n, inverse)
+    return (_intt_mm_jit if inverse else _ntt_mm_jit)(x, log_n)
+
+
 def ntt_mm(x: gl.GL, log_n: int) -> gl.GL:
     """Coefficients -> evaluations (natural order), matmul formulation."""
-    return _ntt_mm_core(x, log_n, inverse=False)
+    return _route(x, log_n, False)
 
 
-@functools.partial(jax.jit, static_argnums=1)
 def intt_mm(x: gl.GL, log_n: int) -> gl.GL:
     """Evaluations -> coefficients (natural order), matmul formulation."""
-    return _ntt_mm_core(x, log_n, inverse=True)
+    return _route(x, log_n, True)
