@@ -96,11 +96,41 @@ def bench_ed25519():
     return len(sig_pks) / dt, dt
 
 
+def bench_ed25519_subprocess(timeout_s: float = 2100.0, attempts: int = 2):
+    """Primary metric in a bounded, RETRIED subprocess.
+
+    Observed tunnel failure mode: a single transfer wedges the client
+    forever, but killing the client frees the tunnel — so a timeout + kill
+    + retry harness self-heals where an in-process run would hang to the
+    driver's deadline.  State that matters (XLA compile cache, witness
+    tapes) is on disk, so a retry resumes warm."""
+    import subprocess
+    import sys as _sys
+    code = ("import sys, json; sys.path.insert(0, '.'); import bench; "
+            "s, l = bench.bench_ed25519(); print('RES'+json.dumps([s, l]))")
+    for _ in range(attempts):
+        try:
+            res = subprocess.run([_sys.executable, "-c", code],
+                                 capture_output=True, text=True,
+                                 timeout=timeout_s, cwd=".")
+            for line in reversed(res.stdout.strip().splitlines()):
+                if line.startswith("RES"):
+                    s, l = json.loads(line[3:])
+                    return float(s), float(l)
+        except subprocess.TimeoutExpired:
+            continue
+    return None, None
+
+
 def main():
-    # NTT first, in a bounded subprocess (it holds the device while alive);
-    # the parent initializes the TPU only afterwards for the primary metric.
+    # Every measurement runs in a bounded subprocess (single-client tunnel
+    # discipline: each child holds the device alone; the parent never
+    # initializes the TPU).  A wedged child is killed and retried.
     ntt_ms = bench_ntt_subprocess()
-    sig_per_s, leaf_s = bench_ed25519()
+    sig_per_s, leaf_s = bench_ed25519_subprocess()
+    if sig_per_s is None:
+        # last resort: in-process (previous behavior)
+        sig_per_s, leaf_s = bench_ed25519()
     extra = {"eddsa_batch4_leaf_s": round(leaf_s, 3)}
     if ntt_ms is not None:
         extra["goldilocks_ntt_2^22_ms"] = round(ntt_ms, 3)
