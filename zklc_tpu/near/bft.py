@@ -60,11 +60,15 @@ OFF_LAST_FINAL = 136
 def prove_header(header, mode: str = "finality"):
     """Real header-hash proof (header_hash.py single-circuit DAG), using
     the BUCKETED variable-length circuit cache (one circuit per
-    rest-block bucket, not per header — SURVEY.md §7.4.6)."""
+    rest-block bucket, not per header — SURVEY.md §7.4.6).  Checkpointed
+    per (block hash, mode) when a checkpoint store is active."""
+    from ..plonk import checkpoint
+    from .types import b58encode
     data, tg = HH.get_header_circuit(header, mode)
     inputs: dict = {}
     HH.set_header_hash_inputs(tg, header, inputs)
-    proof = prover.prove(data, inputs)
+    proof = checkpoint.prove(f"hdr_{b58encode(header.hash)}_{mode}",
+                             data, inputs)
     return data, proof
 
 
@@ -114,7 +118,11 @@ def _prove_sig_and_keys(b_target, b_next, validators, dev_mode,
     for row_t, row_v in zip(val_t, borsh):
         for t, v in zip(row_t, row_v):
             ks_inputs[t] = np.uint64(v)
-    ks_proof = prover.prove(ks_data, ks_inputs)
+    from ..plonk import checkpoint
+    from .types import b58encode
+    ks_key = (f"ks_{b58encode(b_target.hash)}_"
+              f"{int(bind_bp_hash)}")
+    ks_proof = checkpoint.prove(ks_key, ks_data, ks_inputs)
     return msg, (sig_data, sig_proof), (ks_data, ks_proof), check, borsh
 
 
@@ -191,7 +199,8 @@ def _wire_signature_links(b, sig_pt, ks_pt, hash_bytes, target_hdr_pt,
 def _aggregate_target(target_hdr, ds_hdr, final_hdr, chain_hdrs,
                       ep_slot0, ep_slot1, sig, ks, msg, check, borsh,
                       tag, bind_bp_hash, check_only,
-                      boundary_prev: bool = False):
+                      boundary_prev: bool = False,
+                      ckpt_key: str | None = None):
     """Build + prove the single linking aggregation circuit for one target.
 
     target_hdr: (data, proof) of the target block's finality-mode header.
@@ -287,7 +296,8 @@ def _aggregate_target(target_hdr, ds_hdr, final_hdr, chain_hdrs,
         got = [int(wr.get(t)) for t in agg_data.public_input_targets]
         return BftProof(None, None, got, check)
 
-    agg_proof = prover.prove(agg_data, inputs)
+    from ..plonk import checkpoint
+    agg_proof = checkpoint.prove(ckpt_key, agg_data, inputs)
     return BftProof(agg_data, agg_proof,
                     [int(x) for x in agg_proof.public_inputs], check)
 
@@ -347,11 +357,13 @@ def prove_block_bft(epoch_blocks: list, blocks: list, validators: list,
     msg, sig, ks, check, borsh = _prove_sig_and_keys(
         b_t, b_next, validators, dev_mode, bind_bp_hash)
     tag = TAG_EPOCH if mode == "epoch" else TAG_RANDOM
+    from .types import b58encode
     res_a = _aggregate_target(
         target_hdr=hdr[4], ds_hdr=hdr[3], final_hdr=hdr[2],
         chain_hdrs=hdr, ep_slot0=ep_hdr[1], ep_slot1=ep_hdr[0],
         sig=sig, ks=ks, msg=msg, check=check, borsh=borsh,
-        tag=tag, bind_bp_hash=bind_bp_hash, check_only=check_only)
+        tag=tag, bind_bp_hash=bind_bp_hash, check_only=check_only,
+        ckpt_key=f"agg_{b58encode(b_t.hash)}_{tag}")
     expected_a = [tag] + list(b_t.hash) + \
         list(epoch_blocks[1][1].hash) + list(epoch_blocks[0][1].hash)
     if check_only:
@@ -373,7 +385,8 @@ def prove_block_bft(epoch_blocks: list, blocks: list, validators: list,
         chain_hdrs=[], ep_slot0=ep_hdr[2], ep_slot1=ep_hdr[1],
         sig=sig_b, ks=ks_b, msg=msg_b, check=check_b, borsh=borsh_b,
         tag=TAG_EPOCH, bind_bp_hash=bind_bp_hash, check_only=check_only,
-        boundary_prev=True)
+        boundary_prev=True,
+        ckpt_key=f"agg_{b58encode(bn1.hash)}_{TAG_EPOCH}")
     expected_b = [TAG_EPOCH] + list(bn1.hash) + \
         list(epoch_blocks[2][1].hash) + list(epoch_blocks[1][1].hash)
     if check_only:

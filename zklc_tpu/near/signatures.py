@@ -115,16 +115,17 @@ def prove_signature(message: bytes, sig: bytes, pk: bytes):
     return data, proof
 
 
-def prove_signature_batch(message: bytes, sig_pks: list):
+def prove_signature_batch(message: bytes, sig_pks: list,
+                          ckpt_key: str | None = None):
     """One proof covering len(sig_pks) <= BATCH_K signatures of the same
     approval message; sig_pks: [(sig64, pk32)]."""
-    from ..plonk import prover
+    from ..plonk import checkpoint
     from ..gadgets.eddsa import EddsaOps
     data, ops, tgs = get_ed25519_circuit(len(message), len(sig_pks))
     inputs: dict = {}
     for tg, (sig, pk) in zip(tgs, sig_pks):
         EddsaOps.fill_eddsa(tg, message, sig, pk, inputs)
-    proof = prover.prove(data, inputs)
+    proof = checkpoint.prove(ckpt_key, data, inputs)
     return data, proof
 
 
@@ -174,9 +175,9 @@ def _fold_circuit(dl, dr):
     return _agg_circuit_cache[key]
 
 
-def _fold_pair(left, right):
+def _fold_pair(left, right, ckpt_key: str | None = None):
     """Aggregate two (data, proof) pairs into one (cache per shape pair)."""
-    from ..plonk import prover
+    from ..plonk import checkpoint
     from ..plonk.recursion import RecursiveVerifier
     dl, pl = left
     dr, pr = right
@@ -184,10 +185,11 @@ def _fold_pair(left, right):
     inputs: dict = {}
     RecursiveVerifier.set_proof_targets(pts[0], pl, inputs)
     RecursiveVerifier.set_proof_targets(pts[1], pr, inputs)
-    return rdata, prover.prove(rdata, inputs)
+    return rdata, checkpoint.prove(ckpt_key, rdata, inputs)
 
 
-def fold_proof_tree(leaves: list, devices=None):
+def fold_proof_tree(leaves: list, devices=None,
+                    ckpt_prefix: str | None = None):
     """Balanced binary reduction over (data, proof) pairs.  Arrival-order
     insensitive like the reference's fold (SURVEY.md §2.7), log depth.
     Each tree LEVEL is embarrassingly parallel: with >1 chip the per-level
@@ -198,6 +200,7 @@ def fold_proof_tree(leaves: list, devices=None):
     from ..parallel.sharded import prove_level_parallel
     devices = devices if devices is not None else jax.devices()
     level = list(leaves)
+    depth = 0
     while len(level) > 1:
         pairs = [(level[i], level[i + 1])
                  for i in range(0, len(level) - 1, 2)]
@@ -206,11 +209,15 @@ def fold_proof_tree(leaves: list, devices=None):
         for left, right in pairs:
             _fold_circuit(left[0], right[0])
         jobs = [
-            (lambda lr=pair: _fold_pair(*lr)) for pair in pairs]
+            (lambda lr=pair, k=(f"{ckpt_prefix}_L{depth}_{i}"
+                                if ckpt_prefix else None):
+             _fold_pair(*lr, ckpt_key=k))
+            for i, pair in enumerate(pairs)]
         nxt = prove_level_parallel(jobs, devices=devices)
         if len(level) % 2:
             nxt.append(level[-1])
         level = nxt
+        depth += 1
     return level[0]
 
 
@@ -229,6 +236,10 @@ def prove_approvals(message: bytes, approvals: list,
         sig = approvals[idx]
         raw_sig = sig[1:] if len(sig) == 65 else sig
         sig_pks.append((raw_sig, validators[idx].public_key[1:]))
+    # checkpoint namespace: digest of (message, signer set) — deterministic
+    # across runs, distinct per statement
+    pref = hashlib.sha256(
+        message + check.valid_keys_bytes).hexdigest()[:12]
     leaves = []
     if dev_mode:
         leaves = [prove_signature_dev(message, s, p) for s, p in sig_pks]
@@ -237,8 +248,9 @@ def prove_approvals(message: bytes, approvals: list,
         # as K folded singles — slot order == ascending validator index)
         for start in range(0, len(sig_pks), BATCH_K):
             leaves.append(prove_signature_batch(
-                message, sig_pks[start: start + BATCH_K]))
+                message, sig_pks[start: start + BATCH_K],
+                ckpt_key=f"leaf_{pref}_{start:03d}"))
     if not leaves:
         raise ValueError("no valid approvals to prove")
-    data, proof = fold_proof_tree(leaves)
+    data, proof = fold_proof_tree(leaves, ckpt_prefix=f"fold_{pref}")
     return data, proof, check

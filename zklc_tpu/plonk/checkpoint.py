@@ -1,0 +1,158 @@
+"""Stage checkpointing for long proving pipelines.
+
+The reference pipeline persists only its FINAL artifacts
+(near_bft_finality/src/bin/prove_block.rs:302-458); a crash restarts the
+whole block proof (SURVEY.md §5 "no intra-proof checkpointing").  The
+five-block BFT scheme is inherently resumable (Scheme_overview.md:47-52) —
+every sub-proof (header hashes, signature leaves, fold levels, keys&stakes,
+the linking aggregation, the BN128 wrap) is an independent proof object —
+so this module adds the missing mechanism: each stage prove is wrapped in
+`checkpoint.prove(key, data, inputs)`, which
+
+  * returns the persisted proof (CPU-verified against the freshly rebuilt
+    circuit) when `<dir>/<key>.json` exists, and
+  * proves + atomically persists it otherwise.
+
+Keys are deterministic functions of the statement (block hashes, message
+digests, tree coordinates), so a re-run after a crash — or across TPU
+tunnel windows — skips every completed stage.  A checkpoint that fails to
+parse or verify (e.g. the circuit changed between runs) is discarded and
+re-proven; resume is always safe, never trusted blindly.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+_store = None
+
+
+def _unpack_gl_digests(proof):
+    """serialization.proof_from_json keeps Merkle digests as packed ints
+    (transcript-agnostic).  The native GL pipeline (verifier.verify,
+    RecursiveVerifier.set_proof_targets) consumes 4-limb u64 arrays —
+    unpack in place."""
+    def limb4(v):
+        return np.array([(int(v) >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+                         for i in range(4)], dtype=np.uint64)
+
+    def cap(c):
+        return [limb4(h) for h in c]
+
+    proof.wires_cap = cap(proof.wires_cap)
+    proof.plonk_zs_partial_products_cap = cap(
+        proof.plonk_zs_partial_products_cap)
+    proof.quotient_polys_cap = cap(proof.quotient_polys_cap)
+    op = proof.opening_proof
+    op.commit_phase_merkle_caps = [cap(c)
+                                   for c in op.commit_phase_merkle_caps]
+    for rp in op.query_round_proofs:
+        rp.initial_trees_proof.evals_proofs = [
+            (leaf, cap(sibs))
+            for leaf, sibs in rp.initial_trees_proof.evals_proofs]
+        for st in rp.steps:
+            st.siblings = cap(st.siblings)
+    return proof
+
+
+class CheckpointStore:
+    """Directory-backed proof checkpoint store."""
+
+    def __init__(self, dirpath: str, verify_on_load: bool = True):
+        self.dir = dirpath
+        self.verify_on_load = verify_on_load
+        self.hits = 0
+        self.misses = 0
+        os.makedirs(dirpath, exist_ok=True)
+
+    def path(self, key: str) -> str:
+        return os.path.join(self.dir, key + ".json")
+
+    def load(self, key: str, data):
+        """Return the persisted, verified proof for `key` or None."""
+        from . import serialization as SER
+        p = self.path(key)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+            proof = SER.proof_from_json(doc)
+            hasher = data.common.config.hasher
+            if hasher == "gl":
+                _unpack_gl_digests(proof)
+                if self.verify_on_load:
+                    from . import verifier
+                    verifier.verify(proof, data.verifier_only, data.common)
+            elif hasher == "bn128" and self.verify_on_load:
+                # the CPU verifier speaks the GL transcript only; wrap
+                # proofs are checked by the gnark-oracle replay of the Go
+                # verifier that will ultimately consume them
+                from ..wrap.gnark_oracle import GnarkOracle
+                ok = GnarkOracle(SER.common_data_to_json(
+                    data.common)).verify(
+                    doc, SER.verifier_only_to_json(data.verifier_only))
+                if not ok:
+                    raise ValueError("gnark oracle rejected checkpoint")
+            return proof
+        except Exception as e:              # stale / corrupt -> re-prove
+            print(f"[ckpt] discarding stale checkpoint {key}: {e}",
+                  flush=True)
+            try:
+                os.rename(p, p + ".stale")
+            except OSError:
+                pass
+            return None
+
+    def save(self, key: str, proof, common) -> None:
+        from . import serialization as SER
+        doc = SER.proof_to_json(proof, common)
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, self.path(key))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    def prove(self, key: str, data, inputs: dict):
+        t0 = time.time()
+        cached = self.load(key, data)
+        if cached is not None:
+            self.hits += 1
+            print(f"[ckpt] {key}: reused ({time.time() - t0:.1f}s verify)",
+                  flush=True)
+            return cached
+        from . import prover
+        proof = prover.prove(data, inputs)
+        self.save(key, proof, data.common)
+        self.misses += 1
+        print(f"[ckpt] {key}: proved + saved ({time.time() - t0:.1f}s)",
+              flush=True)
+        return proof
+
+
+def set_store(store: CheckpointStore | None) -> None:
+    global _store
+    _store = store
+
+
+def get_store() -> CheckpointStore | None:
+    return _store
+
+
+def prove(key: str | None, data, inputs: dict):
+    """Checkpointed prove when a store is active and a key given; plain
+    prover.prove otherwise (zero-overhead for tests and dev paths)."""
+    if _store is None or key is None:
+        from . import prover
+        return prover.prove(data, inputs)
+    return _store.prove(key, data, inputs)

@@ -40,14 +40,18 @@ def assert_gnark_gate_set(common) -> None:
 _wrap_cache: dict = {}
 
 
-def wrap_proof(inner_data, inner_proof):
+def wrap_proof(inner_data, inner_proof, ckpt_key: str | None = None):
     """Produce the BN128-transcript wrap of (inner_data, inner_proof).
 
     Returns (wrap_data, wrap_proof); the wrap proof's public inputs are the
     inner proof's, re-registered (prove_block.rs:293-299 passes
     Some(&proof.public_inputs)).  Verify with wrap.gnark_oracle.GnarkOracle
     — the CPU replay of the gnark circuit that will consume it.
+
+    With an active checkpoint store and a key, the wrap proof persists and
+    resumes like every other pipeline stage (oracle-verified on load).
     """
+    from ..plonk import checkpoint
     prover.ensure_constants_sigmas_commitment(inner_data)
     key = id(inner_data)
     if key not in _wrap_cache:
@@ -60,7 +64,7 @@ def wrap_proof(inner_data, inner_proof):
     data, pt = _wrap_cache[key]
     inputs: dict = {}
     RecursiveVerifier.set_proof_targets(pt, inner_proof, inputs)
-    proof = prover.prove(data, inputs)
+    proof = checkpoint.prove(ckpt_key, data, inputs)
     return data, proof
 
 
