@@ -114,7 +114,13 @@ def main():
                                    ckpt_key=f"wrap_{name}")
         timings[f"wrap_{name}_s"] = round(time.time() - t0, 2)
         out_dir = p.join(args.out, args.mode, name)
+        # full artifact set: the wrap proof at top level (what the gnark
+        # wrapper consumes, bin/prove_block.rs:302-458) + the inner GL
+        # aggregation proof under inner/ (what groth16_wrap_e2e --real
+        # fr-wraps)
         SER.write_proof_artifacts(out_dir, wproof, wdata, tgt.hash)
+        SER.write_proof_artifacts(p.join(out_dir, "inner"), r.proof,
+                                  r.data, tgt.hash)
         t0 = time.time()
         assert verify_artifacts(out_dir)
         timings[f"oracle_{name}_s"] = round(time.time() - t0, 2)

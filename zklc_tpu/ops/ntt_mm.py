@@ -291,9 +291,28 @@ _intt_mm_jit = jax.jit(lambda x, log_n: _ntt_mm_core(x, log_n, True),
                        static_argnums=1)
 
 
+_warned_traced_big: set = set()
+
+
 def _route(x, log_n: int, inverse: bool) -> gl.GL:
-    if log_n >= BIG_LOG and not isinstance(x[0], jax.core.Tracer):
-        return _ntt_mm_big(x, log_n, inverse)
+    if log_n >= BIG_LOG:
+        if not isinstance(x[0], jax.core.Tracer):
+            return _ntt_mm_big(x, log_n, inverse)
+        # Under an enclosing jit the staged-table path is unavailable (its
+        # device-resident tables would be baked into the enclosing trace
+        # as inline constants — the exact payload the staging avoids), so
+        # we fall back to the inline-constant kernel.  That regression
+        # must not be silent (ADVICE r3): callers should hoist big
+        # transforms out of their jit.
+        import warnings
+        key = (log_n, inverse)
+        if key not in _warned_traced_big:
+            _warned_traced_big.add(key)
+            warnings.warn(
+                f"ntt_mm: 2^{log_n} transform traced inside an enclosing "
+                "jit falls back to the inline-constant path (tens-of-MB "
+                "compile payload); call it un-jitted to use the staged "
+                "runtime-table kernel", RuntimeWarning, stacklevel=3)
     return (_intt_mm_jit if inverse else _ntt_mm_jit)(x, log_n)
 
 

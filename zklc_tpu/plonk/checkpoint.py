@@ -31,34 +31,6 @@ import numpy as np
 _store = None
 
 
-def _unpack_gl_digests(proof):
-    """serialization.proof_from_json keeps Merkle digests as packed ints
-    (transcript-agnostic).  The native GL pipeline (verifier.verify,
-    RecursiveVerifier.set_proof_targets) consumes 4-limb u64 arrays —
-    unpack in place."""
-    def limb4(v):
-        return np.array([(int(v) >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
-                         for i in range(4)], dtype=np.uint64)
-
-    def cap(c):
-        return [limb4(h) for h in c]
-
-    proof.wires_cap = cap(proof.wires_cap)
-    proof.plonk_zs_partial_products_cap = cap(
-        proof.plonk_zs_partial_products_cap)
-    proof.quotient_polys_cap = cap(proof.quotient_polys_cap)
-    op = proof.opening_proof
-    op.commit_phase_merkle_caps = [cap(c)
-                                   for c in op.commit_phase_merkle_caps]
-    for rp in op.query_round_proofs:
-        rp.initial_trees_proof.evals_proofs = [
-            (leaf, cap(sibs))
-            for leaf, sibs in rp.initial_trees_proof.evals_proofs]
-        for st in rp.steps:
-            st.siblings = cap(st.siblings)
-    return proof
-
-
 class CheckpointStore:
     """Directory-backed proof checkpoint store."""
 
@@ -84,7 +56,7 @@ class CheckpointStore:
             proof = SER.proof_from_json(doc)
             hasher = data.common.config.hasher
             if hasher == "gl":
-                _unpack_gl_digests(proof)
+                SER.unpack_gl_digests(proof)
                 if self.verify_on_load:
                     from . import verifier
                     verifier.verify(proof, data.verifier_only, data.common)

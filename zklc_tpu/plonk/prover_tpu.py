@@ -426,12 +426,21 @@ def _cs_lru_touch(data, comm):
     import weakref
     key = id(data)
     _cs_lru.pop(key, None)
-    _cs_lru[key] = (weakref.ref(data), _cs_nbytes(comm))
+    # GC callback drops the entry the moment its ProverData is collected:
+    # dead entries neither count toward the byte budget (no premature
+    # eviction of live commitments) nor linger for id() reuse to alias a
+    # new circuit onto (ADVICE r3).
+    _cs_lru[key] = (weakref.ref(data, lambda _r, _k=key:
+                                _cs_lru.pop(_k, None)),
+                    _cs_nbytes(comm))
     total = sum(nb for _, nb in _cs_lru.values())
     for k in list(_cs_lru):
         if total <= _CS_CACHE_BUDGET or k == key:
             continue
-        ref, nb = _cs_lru.pop(k)
+        entry = _cs_lru.pop(k, None)
+        if entry is None:
+            continue
+        ref, nb = entry
         victim = ref()
         if victim is not None:
             victim._tpu_cs = None

@@ -221,6 +221,34 @@ def proof_from_json(d: dict):
     )
 
 
+def unpack_gl_digests(proof):
+    """proof_from_json keeps Merkle digests as packed ints (transcript-
+    agnostic).  The native GL pipeline (verifier.verify,
+    RecursiveVerifier.set_proof_targets) consumes 4-limb u64 arrays —
+    unpack in place and return the proof."""
+    def limb4(v):
+        return np.array([(int(v) >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+                         for i in range(4)], dtype=np.uint64)
+
+    def cap(c):
+        return [limb4(h) for h in c]
+
+    proof.wires_cap = cap(proof.wires_cap)
+    proof.plonk_zs_partial_products_cap = cap(
+        proof.plonk_zs_partial_products_cap)
+    proof.quotient_polys_cap = cap(proof.quotient_polys_cap)
+    op = proof.opening_proof
+    op.commit_phase_merkle_caps = [cap(c)
+                                   for c in op.commit_phase_merkle_caps]
+    for rp in op.query_round_proofs:
+        rp.initial_trees_proof.evals_proofs = [
+            (leaf, cap(sibs))
+            for leaf, sibs in rp.initial_trees_proof.evals_proofs]
+        for st in rp.steps:
+            st.siblings = cap(st.siblings)
+    return proof
+
+
 def verifier_only_from_json(d: dict):
     """verifier_only_circuit_data.json -> (constants_sigmas_cap, digest) as
     transcript-agnostic ints."""

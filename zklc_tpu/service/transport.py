@@ -53,6 +53,7 @@ class Broker:
         self.visibility_timeout_s = visibility_timeout_s
         if journal_path:
             self._replay_journal(journal_path)
+            self._compact_journal(journal_path)
             self._journal = open(journal_path, "a", encoding="utf-8")
 
         broker = self
@@ -105,10 +106,31 @@ class Broker:
             elif ev["t"] == "put":
                 self._next_id = max(self._next_id, ev["id"] + 1)
 
+    def _compact_journal(self, path: str):
+        """Rewrite the journal keeping only unacked puts (the state just
+        rebuilt by replay).  Without this every restart replays the full
+        history of acked messages and the file grows unboundedly
+        (ADVICE r3)."""
+        tmp = path + ".compact"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for subject, ids in self._queues.items():
+                for mid in ids:
+                    f.write(json.dumps({
+                        "t": "put", "id": mid, "subject": subject,
+                        "data": base64.b64encode(
+                            self._msgs[mid][1]).decode()}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
     def _log(self, ev: dict):
         if self._journal is not None:
             self._journal.write(json.dumps(ev) + "\n")
             self._journal.flush()
+            # acked-to-publisher durability: a host crash after the OK
+            # response must not lose the message (JetStream file-store
+            # semantics the module docstring promises; ADVICE r3)
+            os.fsync(self._journal.fileno())
 
     # -- operations ------------------------------------------------------
 
