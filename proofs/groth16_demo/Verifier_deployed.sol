@@ -1,0 +1,167 @@
+// SPDX-License-Identifier: MIT
+pragma solidity ^0.8.24;
+
+/// @title Groth16 BN254 verifier, 4 public inputs
+/// @notice Equivalent of the reference's generated verifier
+/// (contracts/foundry/verifier/src/Verifier.sol, 549 LoC) re-authored for
+/// the zklc_tpu wrap pipeline: checks the Groth16 pairing equation
+///   e(-A, B) * e(alpha, beta) * e(vk_x, gamma) * e(C, delta) == 1
+/// over alt_bn128 via the EIP-196/197 precompiles (0x06 add, 0x07 mul,
+/// 0x08 pairing).  Proof layout matches zklc_tpu/wrap/groth16.py
+/// encode_proof: [A.x, A.y, B.x_im, B.x_re, B.y_im, B.y_re, C.x, C.y].
+///
+/// The verifying-key constants are emitted by
+/// `python -m zklc_tpu.bins.export_vk` from a groth16.VerifyingKey; the
+/// GENERATED CONTRACT — verifying-key constants spliced by export_vk.
+///
+/// Behavioral twin: zklc_tpu/contracts sim (tests/test_groth16.py drives
+/// the SAME pairing equation + bounds checks through wrap/groth16.verify —
+/// no Solidity toolchain exists in this environment; see STATUS.md).
+contract Verifier {
+    // BN254 base and scalar field moduli
+    uint256 constant P =
+        21888242871839275222246405745257275088696311157297823662689037894645226208583;
+    uint256 constant R =
+        21888242871839275222246405745257275088548364400416034343698204186575808495617;
+
+    // verifying key (deployment-time constants)
+    uint256 constant ALPHA_X =
+        21329456712843065953004111293160714615701089911608252887743479773325544450675;
+    uint256 constant ALPHA_Y =
+        18990619548678909412494935448822440005883579913353752217833191259990520338468;
+    uint256 constant BETA_X_IM =
+        21829756446564994621573573863610192635999995765940242207685559202983842208213;
+    uint256 constant BETA_X_RE =
+        20156902484283587370581846043643554610142561516864277010147408635561184071723;
+    uint256 constant BETA_Y_IM =
+        6326015870747861735466157130360075678958321695420049963938259071343909435135;
+    uint256 constant BETA_Y_RE =
+        1600452907762315525567820151203593436188909689498537872943396983068418244897;
+    uint256 constant GAMMA_X_IM =
+        686837240384220211043993007087743193137289104404399345366409587537355075671;
+    uint256 constant GAMMA_X_RE =
+        11502102931635307362149569233357340819282847214899917183219546574437674377538;
+    uint256 constant GAMMA_Y_IM =
+        4476960769919609764883098452546061534770226228339679979776013780946082454720;
+    uint256 constant GAMMA_Y_RE =
+        4003407517819434619461885024037937918918514953701120302333410076149510285851;
+    uint256 constant DELTA_X_IM =
+        4275005222426865007741412493848178429378151533735969879642142235331668713904;
+    uint256 constant DELTA_X_RE =
+        4094824206639763033432558527479734516682437103567539408346170566212438561864;
+    uint256 constant DELTA_Y_IM =
+        20470807900157438301656063638618880136176914938711141504448771925168932733502;
+    uint256 constant DELTA_Y_RE =
+        13729663497687366600712245636215349761666355686125951917951325114915437388129;
+    // IC: 5 G1 points (constant term + 4 public inputs)
+    uint256 constant IC0_X =
+        4533063685499693277996620991041609241220491040717661375403550652238699051918;
+    uint256 constant IC0_Y =
+        2911912984199279973645803462425911906123211649186039714795524556451246357402;
+    uint256 constant IC1_X =
+        5842662313647670604260456443818043647262888085957050077550565159630100515440;
+    uint256 constant IC1_Y =
+        3568899466723375861805663987296509213619575440321098564006687577610421450108;
+    uint256 constant IC2_X =
+        11266235008302585490963932109517566007226623559182513361003446904696892773148;
+    uint256 constant IC2_Y =
+        4616348071378441701737848286658303301857625325030766495431067637253183342276;
+    uint256 constant IC3_X =
+        9506801271293662256765048764019549832687622269130302439664336607796836250501;
+    uint256 constant IC3_Y =
+        3109262322736075174084372286927740311796354435202660518214110418486681434020;
+    uint256 constant IC4_X =
+        4365053678988270281952154420045390332134711383364940405940978289906967165155;
+    uint256 constant IC4_Y =
+        17611673944366271693648474259853129923462577209070180005691613350159499548617;
+
+    error InvalidProof();
+    error InvalidInput();
+
+    /// @notice verify a Groth16 proof with 4 public inputs
+    function verifyProof(uint256[4] calldata input, uint256[8] calldata proof)
+        external
+        view
+        returns (bool)
+    {
+        // scalar bounds (the Solidity mirror of groth16.verify's checks)
+        for (uint256 i = 0; i < 4; i++) {
+            if (input[i] >= R) revert InvalidInput();
+        }
+        for (uint256 i = 0; i < 8; i++) {
+            if (proof[i] >= P) revert InvalidProof();
+        }
+
+        // vk_x = IC0 + sum input[i] * IC(i+1)   (precompiles 0x06/0x07)
+        uint256[2] memory vkx = [IC0_X, IC0_Y];
+        vkx = _g1Add(vkx, _g1Mul([IC1_X, IC1_Y], input[0]));
+        vkx = _g1Add(vkx, _g1Mul([IC2_X, IC2_Y], input[1]));
+        vkx = _g1Add(vkx, _g1Mul([IC3_X, IC3_Y], input[2]));
+        vkx = _g1Add(vkx, _g1Mul([IC4_X, IC4_Y], input[3]));
+
+        // pairing product: e(-A,B) e(alpha,beta) e(vkx,gamma) e(C,delta)
+        uint256[24] memory pairs;
+        // -A, B
+        pairs[0] = proof[0];
+        pairs[1] = proof[1] == 0 ? 0 : P - proof[1];
+        pairs[2] = proof[2];
+        pairs[3] = proof[3];
+        pairs[4] = proof[4];
+        pairs[5] = proof[5];
+        // alpha, beta
+        pairs[6] = ALPHA_X;
+        pairs[7] = ALPHA_Y;
+        pairs[8] = BETA_X_IM;
+        pairs[9] = BETA_X_RE;
+        pairs[10] = BETA_Y_IM;
+        pairs[11] = BETA_Y_RE;
+        // vk_x, gamma
+        pairs[12] = vkx[0];
+        pairs[13] = vkx[1];
+        pairs[14] = GAMMA_X_IM;
+        pairs[15] = GAMMA_X_RE;
+        pairs[16] = GAMMA_Y_IM;
+        pairs[17] = GAMMA_Y_RE;
+        // C, delta
+        pairs[18] = proof[6];
+        pairs[19] = proof[7];
+        pairs[20] = DELTA_X_IM;
+        pairs[21] = DELTA_X_RE;
+        pairs[22] = DELTA_Y_IM;
+        pairs[23] = DELTA_Y_RE;
+
+        uint256[1] memory out;
+        bool ok;
+        assembly {
+            ok := staticcall(gas(), 0x08, pairs, 768, out, 32)
+        }
+        if (!ok) revert InvalidProof();
+        return out[0] == 1;
+    }
+
+    function _g1Add(uint256[2] memory a, uint256[2] memory b)
+        private
+        view
+        returns (uint256[2] memory out)
+    {
+        uint256[4] memory inp = [a[0], a[1], b[0], b[1]];
+        bool ok;
+        assembly {
+            ok := staticcall(gas(), 0x06, inp, 128, out, 64)
+        }
+        if (!ok) revert InvalidProof();
+    }
+
+    function _g1Mul(uint256[2] memory a, uint256 s)
+        private
+        view
+        returns (uint256[2] memory out)
+    {
+        uint256[3] memory inp = [a[0], a[1], s];
+        bool ok;
+        assembly {
+            ok := staticcall(gas(), 0x07, inp, 96, out, 64)
+        }
+        if (!ok) revert InvalidProof();
+    }
+}
