@@ -76,9 +76,37 @@ def bench_prover_commit(n_dev: int, num_polys: int = 16, log_n: int = 10,
     return time_fn(fn, padded)
 
 
+def bench_rev_commit(n_dev: int, num_polys: int = 16, log_n: int = 10,
+                     rate: int = 3, cap: int = 4):
+    """The ROUND-4 no-replication commitment (sharded_prove.
+    RevShardedCommitment: poly-sharded NTT -> all_to_all transpose ->
+    domain-sharded bit-reversed LDE + local Merkle subtrees); strong
+    scaling over a fixed poly batch, and the LDE never replicates."""
+    from zklc_tpu.parallel import sharded_prove as SP
+    mesh = sharded.make_mesh(n_dev, axis=SP.AXIS)
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, (1 << 64) - 2**32, size=(num_polys, 1 << log_n),
+                        dtype=np.uint64)
+
+    def run():
+        return SP.RevShardedCommitment(mesh, vals, rate, cap).lde
+
+    out = run()
+    jax.block_until_ready(out)
+    import time as _t
+    t0 = _t.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    return (_t.perf_counter() - t0) / iters
+
+
 def main():
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "proofs", "scaling_efficiency.json")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(root, "proofs",
+                       os.environ.get("ZKLC_SCALING_OUT",
+                                      "scaling_efficiency.json"))
     n = len(jax.devices())
     t_c1 = bench_commit(1)
     t_cn = bench_commit(n)
@@ -90,6 +118,8 @@ def main():
     a2a_eff = t_a1 / (t_an * n)
     t_p1 = bench_prover_commit(1)
     t_pn = bench_prover_commit(n)
+    t_r1 = bench_rev_commit(1)
+    t_rn = bench_rev_commit(n)
     result = {
         "devices": n,
         "host_cpus": os.cpu_count(),
@@ -103,6 +133,10 @@ def main():
             round(t_p1 / (t_pn * n), 3),
         "prover_sharded_commit_ms_1dev": round(t_p1 * 1e3, 2),
         "prover_sharded_commit_ms_ndev": round(t_pn * 1e3, 2),
+        "rev_sharded_commit_strong_scaling_efficiency":
+            round(t_r1 / (t_rn * n), 3),
+        "rev_sharded_commit_ms_1dev": round(t_r1 * 1e3, 2),
+        "rev_sharded_commit_ms_ndev": round(t_rn * 1e3, 2),
         "note": "virtual CPU mesh shares host cores; mechanism check, "
                 "not ICI bandwidth",
     }

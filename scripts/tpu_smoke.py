@@ -5,11 +5,17 @@
   2. one recursion shape          — covers the widest gate mix the real
      pipeline uses (in-circuit Poseidon/FRI verification gates).
 
-Run this BEFORE every snapshot:  python scripts/tpu_smoke.py
-Exits nonzero on any failure; prints per-stage wall times.  Budget < 2 min
-warm (first-ever run pays XLA compiles; the persistent jax cache keeps
-subsequent runs fast).
+Run BEFORE every snapshot:  python scripts/tpu_smoke.py [--quick]
+
+Exits nonzero on any failure; prints per-stage wall times, flushed as
+they land.  MEASURED budgets (r3, real chip through the tunnel): first
+run on a fresh machine ~35 min (every quotient gate kernel compiles);
+warm persistent-cache reruns are minutes.  `--quick` runs only the
+lookup stage (~1/4 the compile surface) — the right gate when the tunnel
+window is short; the recursion stage then runs on the next invocation
+from a warm cache.
 """
+import argparse
 import os
 import sys
 import time
@@ -19,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="lookup stage only (short tunnel windows)")
+    args = ap.parse_args(argv)
     import jax
     backend = jax.default_backend()
     print(f"backend: {backend} devices: {jax.devices()}", flush=True)
@@ -50,6 +60,11 @@ def main() -> int:
     assert int(proof.public_inputs[0]) == want
     print(f"lookup circuit: build {t1 - t0:.1f}s prove {t2 - t1:.1f}s "
           f"verify {time.time() - t2:.1f}s", flush=True)
+
+    if args.quick:
+        print(f"TPU SMOKE OK --quick ({backend}) total "
+              f"{time.time() - t0:.1f}s", flush=True)
+        return 0
 
     # --- 2. one recursion shape ---
     from zklc_tpu.plonk.recursion import (RecursiveVerifier,

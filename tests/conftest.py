@@ -23,6 +23,6 @@ jax.config.update("jax_platforms", "cpu")
 # itself, VERDICT r3 weak #9)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/zklc_jax_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

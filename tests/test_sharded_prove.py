@@ -1,0 +1,96 @@
+"""Domain-sharded prover (parallel/sharded_prove.py) vs the host prover:
+PROOF BYTES must be identical on the 8-device virtual mesh — same
+transcript, same caps, same FRI rounds — so the sharded path slots under
+the verifier/recursion/wrap layers untouched.
+
+Also asserts the no-replication property VERDICT r3 called out: every
+O(M)-sized array (LDE planes, big Merkle levels, fold layers) is sharded
+across the mesh, not replicated per chip.
+"""
+import json
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+from zklc_tpu.plonk.builder import CircuitBuilder
+from zklc_tpu.plonk.config import CircuitConfig
+from zklc_tpu.plonk import prover, verifier, serialization as SER
+from zklc_tpu.parallel import sharded_prove as SP
+
+pytestmark = pytest.mark.heavy
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest forces an 8-device CPU topology"
+    return Mesh(np.array(devs[:8]), (SP.AXIS,))
+
+
+@pytest.fixture(scope="module")
+def circuit():
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    acc = b.mul_add(x, y, x)
+    for _ in range(6):                      # a few rows of real gates
+        acc = b.mul_add(acc, y, x)
+    b.register_public_inputs([x, y, acc])
+    return b.build(), (x, y)
+
+
+def test_sharded_proof_bytes_identical(mesh, circuit):
+    data, (x, y) = circuit
+    want = prover.prove(data, {x: 3, y: 4})
+    # fresh prover data state for the sharded run (cs commitment is
+    # rebuilt sharded; digest must come out identical)
+    got = SP.prove(data, {x: 3, y: 4}, mesh)
+    verifier.verify(got, data.verifier_only, data.common)
+    wj = json.dumps(SER.proof_to_json(want, data.common), sort_keys=True)
+    gj = json.dumps(SER.proof_to_json(got, data.common), sort_keys=True)
+    assert wj == gj, "sharded prover diverged from the host prover"
+
+
+def test_lde_is_domain_sharded_not_replicated(mesh, circuit):
+    data, (x, y) = circuit
+    comm = SP.ensure_cs_device_sharded(data, mesh)
+    n_dev = mesh.shape[SP.AXIS]
+    M = 1 << comm.lde_bits
+    # the LDE's domain axis is sharded: each device holds M/n_dev columns
+    for plane in comm.lde:
+        shards = plane.sharding.shard_shape(plane.shape)
+        assert shards[-1] == M // n_dev, \
+            f"LDE replicated: shard shape {shards} vs global {plane.shape}"
+    # big Merkle levels sharded on their row axis too
+    big_levels = [lv for lv in comm.levels if lv[0].shape[0] >= n_dev]
+    assert big_levels
+    for lv in big_levels[:2]:
+        shards = lv[0].sharding.shard_shape(lv[0].shape)
+        assert shards[0] == lv[0].shape[0] // n_dev
+
+
+def test_sharded_prove_lookup_circuit(mesh):
+    """A circuit with LogUp lookups (the EdDSA leaf's range lanes) through
+    the sharded path — exercises the lookup columns + next-row
+    permutation in the quotient."""
+    cfg = CircuitConfig.standard_recursion_config()
+    b = CircuitBuilder(cfg)
+    t = b.add_lookup_table_from_pairs(
+        tuple((i, (i * 7 + 3) % 64) for i in range(64)))
+    ins, outs = [], []
+    for v in (5, 11, 63):
+        i_t = b.add_virtual_target()
+        o_t = b.add_lookup_from_index(i_t, t)
+        ins.append(i_t)
+        outs.append(o_t)
+    b.register_public_inputs(ins + outs)
+    data = b.build()
+    inputs = {t_: np.uint64(v) for t_, v in zip(ins, (5, 11, 63))}
+    want = prover.prove(data, dict(inputs))
+    got = SP.prove(data, dict(inputs), mesh)
+    verifier.verify(got, data.verifier_only, data.common)
+    wj = json.dumps(SER.proof_to_json(want, data.common), sort_keys=True)
+    gj = json.dumps(SER.proof_to_json(got, data.common), sort_keys=True)
+    assert wj == gj

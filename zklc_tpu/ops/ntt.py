@@ -123,20 +123,47 @@ def _coset_powers(log_n: int, shift: int) -> tuple:
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def coset_ntt(coeffs, log_n: int, shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
-    """Evaluate poly on the coset shift * <g>: scale coeff i by shift^i, then NTT."""
+def _coset_ntt_jit(coeffs, log_n: int, shift: int):
     ph, plo = _coset_powers(log_n, shift)
     scaled = gl.mul(coeffs, (ph, plo))
     return ntt(scaled, log_n)
 
 
+def coset_ntt(coeffs, log_n: int, shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
+    """Evaluate poly on the coset shift * <g>: scale coeff i by shift^i, then NTT.
+
+    Large transforms run EAGERLY so ntt_mm routes them to the staged
+    runtime-table kernels — a jitted wrapper would trace them into the
+    inline-constant path, whose compiled program needs tens of GB of HBM
+    (observed: a 2^21 header-commit compile demanding 55 GB; the exact
+    regression ADVICE r3 #1 warned about)."""
+    from . import ntt_mm
+    if log_n >= ntt_mm.BIG_LOG and not isinstance(coeffs[0],
+                                                  jax.core.Tracer):
+        ph, plo = _coset_powers(log_n, shift)
+        scaled = gl.mul(coeffs, (ph, plo))
+        return ntt(scaled, log_n)
+    return _coset_ntt_jit(coeffs, log_n, shift)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def coset_intt(values, log_n: int, shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
-    """Inverse of coset_ntt."""
+def _coset_intt_jit(values, log_n: int, shift: int):
     coeffs = intt(values, log_n)
     inv_shift = pow(shift, gl64.P - 2, gl64.P)
     ph, plo = _coset_powers(log_n, inv_shift)
     return gl.mul(coeffs, (ph, plo))
+
+
+def coset_intt(values, log_n: int, shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
+    """Inverse of coset_ntt (same big-transform routing)."""
+    from . import ntt_mm
+    if log_n >= ntt_mm.BIG_LOG and not isinstance(values[0],
+                                                  jax.core.Tracer):
+        coeffs = intt(values, log_n)
+        inv_shift = pow(shift, gl64.P - 2, gl64.P)
+        ph, plo = _coset_powers(log_n, inv_shift)
+        return gl.mul(coeffs, (ph, plo))
+    return _coset_intt_jit(values, log_n, shift)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

@@ -58,7 +58,13 @@ class CheckpointStore:
             if hasher == "gl":
                 SER.unpack_gl_digests(proof)
                 if self.verify_on_load:
-                    from . import verifier
+                    from . import verifier, prover
+                    # a freshly rebuilt circuit has no verifier data until
+                    # its constants/sigmas commitment is computed — do it
+                    # here, NOT in prove (r4 run 2 discarded a good
+                    # checkpoint over this)
+                    if data.verifier_only is None:
+                        prover.ensure_constants_sigmas_commitment(data)
                     verifier.verify(proof, data.verifier_only, data.common)
             elif hasher == "bn128" and self.verify_on_load:
                 # the CPU verifier speaks the GL transcript only; wrap
@@ -71,7 +77,8 @@ class CheckpointStore:
                 if not ok:
                     raise ValueError("gnark oracle rejected checkpoint")
             return proof
-        except Exception as e:              # stale / corrupt -> re-prove
+        except (json.JSONDecodeError, KeyError, TypeError, IndexError,
+                AssertionError) as e:       # corrupt/stale file -> re-prove
             print(f"[ckpt] discarding stale checkpoint {key}: {e}",
                   flush=True)
             try:
@@ -79,6 +86,24 @@ class CheckpointStore:
             except OSError:
                 pass
             return None
+        except Exception as e:
+            # Verification failure means the circuit changed -> discard;
+            # anything else (tunnel compile 500s, HBM exhaustion, device
+            # infra) must NOT destroy a good checkpoint (r4 run 2 lost a
+            # 23-minute header proof to a transient remote_compile error).
+            from .verifier import VerificationError
+            if isinstance(e, VerificationError):
+                print(f"[ckpt] discarding stale checkpoint {key}: {e}",
+                      flush=True)
+                try:
+                    os.rename(p, p + ".stale")
+                except OSError:
+                    pass
+                return None
+            print(f"[ckpt] {key}: verify-on-load hit an infrastructure "
+                  f"error ({e!r}); keeping checkpoint and propagating",
+                  flush=True)
+            raise
 
     def save(self, key: str, proof, common) -> None:
         from . import serialization as SER
@@ -107,6 +132,11 @@ class CheckpointStore:
         proof = prover.prove(data, inputs)
         self.save(key, proof, data.common)
         self.misses += 1
+        # drop the stage's device commitments (wires/zs/quotient LDEs)
+        # before the next stage allocates its own — multi-stage runs on a
+        # single chip died to HBM exhaustion without this (r4 run 1)
+        import gc
+        gc.collect()
         print(f"[ckpt] {key}: proved + saved ({time.time() - t0:.1f}s)",
               flush=True)
         return proof

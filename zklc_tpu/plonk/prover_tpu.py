@@ -520,11 +520,12 @@ def _structural_key(common):
 _quotient_parts_cache: dict = {}
 
 
-def _quotient_split(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
-                    betas, gammas, alphas, deltas=()):
-    """Vanishing evaluation as ONE SMALL JIT KERNEL PER GATE TYPE plus a
-    base kernel (permutation + lookup terms), alpha-weighted partial sums
-    added on device.
+def _quotient_parts(common):
+    """Build (or fetch) the per-gate quotient kernel set for a circuit
+    shape: (base_jit, gate_jits, finish_jit).
+
+    ONE SMALL JIT KERNEL PER GATE TYPE plus a base kernel (permutation +
+    lookup terms), alpha-weighted partial sums added on device.
 
     Rationale: the fused single-program evaluator (host_prover.
     make_vanishing_fn) XLA-compiles the constraint polynomials of EVERY
@@ -532,13 +533,18 @@ def _quotient_split(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
     TPU compile time explodes (>30 min for the ed25519 circuit).  Since the
     alpha-Horner combination is linear in the terms, each gate type's
     filtered contribution sum_k alpha^(base+k) * filt * c_k can be computed
-    in its own (cacheable, fast-compiling) kernel and summed."""
+    in its own (cacheable, fast-compiling) kernel and summed.
+
+    Every kernel is pointwise in the domain except the base kernel's
+    next-row access, which takes `next_perm=None` for the natural-order
+    roll or a static permutation for the rev-sharded layout
+    (parallel/sharded_prove.py) — the same cached kernels serve both
+    prover paths."""
     import jax
     import jax.numpy as jnp
     from .algebra import DeviceBase, EvalVars
     from ..field import gl2x32 as gl
 
-    common = data.common
     cfg = common.config
     rate_bits = cfg.fri_config.rate_bits
     rate = 1 << rate_bits
@@ -621,10 +627,16 @@ def _quotient_split(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
             return jax.jit(fn)
 
         def base_fn(wires, cs, zspp, betas_d, gammas_d, alphas_d, deltas_d,
-                    x, zh_inv, l0):
+                    x, zh_inv, l0, next_perm=None):
             alg = DeviceBase()
-            zspp_next = (jnp.roll(zspp[0], -rate, -1),
-                         jnp.roll(zspp[1], -rate, -1))
+            if next_perm is None:
+                # natural order: next trace row = roll by the LDE rate
+                zspp_next = (jnp.roll(zspp[0], -rate, -1),
+                             jnp.roll(zspp[1], -rate, -1))
+            else:
+                # rev-layout sharded path: next row as a static permutation
+                # (chip-local whenever n_dev | rate; see sharded_prove.py)
+                zspp_next = (zspp[0][:, next_perm], zspp[1][:, next_perm])
             constants = [row(cs, i) for i in range(nconst)]
             sigmas = [row(cs, nconst + i) for i in range(routed)]
             wires_rows = [row(wires, i) for i in range(common.num_wire_polys)]
@@ -691,8 +703,15 @@ def _quotient_split(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
             [make_gate_fn(gi, g) for gi, g in enumerate(common.gate_types)],
             jax.jit(finish_fn),
         )
+    return _quotient_parts_cache[key]
 
-    base_jit, gate_jits, finish_jit = _quotient_parts_cache[key]
+
+def _quotient_split(data, wires_comm, cs_comm, zs_pp_comm, pi_hash,
+                    betas, gammas, alphas, deltas=()):
+    """Natural-order quotient evaluation via the split kernel set."""
+    common = data.common
+    rate_bits = common.config.fri_config.rate_bits
+    base_jit, gate_jits, finish_jit = _quotient_parts(common)
     x_np, zh_inv_np, l0_np = host_prover._coset_domain(
         common.degree_bits, rate_bits)
     to_dev = gl.from_u64_np
