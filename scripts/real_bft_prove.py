@@ -46,6 +46,13 @@ def main():
     args = ap.parse_args()
 
     os.environ.setdefault("ZKLC_TIMING", "1")
+    # Recursion/fold circuit building and checkpoint verification compute
+    # constants+sigmas commitments for every component circuit; on the
+    # native host path they cost seconds of C++ — on the device path they
+    # allocate multi-GB LDEs in HBM next to the in-flight prove (and, for
+    # 2^18 circuits, hit the traced-NTT compile blowup).  The TPU prover's
+    # own commitments (prover_tpu.ensure_cs_device) are unaffected.
+    os.environ["ZKLC_HOST_COMMIT"] = "1"
     import jax
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
           flush=True)

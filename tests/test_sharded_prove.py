@@ -72,22 +72,20 @@ def test_lde_is_domain_sharded_not_replicated(mesh, circuit):
 
 
 def test_sharded_prove_lookup_circuit(mesh):
-    """A circuit with LogUp lookups (the EdDSA leaf's range lanes) through
-    the sharded path — exercises the lookup columns + next-row
-    permutation in the quotient."""
-    cfg = CircuitConfig.standard_recursion_config()
+    """A circuit with LogUp lookups (the EdDSA leaf's range-lane family,
+    via the u32 gadget like scripts/tpu_smoke.py) through the sharded path
+    — exercises the multiplicity wire columns and the lookup rows'
+    next-row permutation in the quotient."""
+    from zklc_tpu.gadgets.u32 import U32Ops
+    cfg = CircuitConfig.standard_lookup_config()
     b = CircuitBuilder(cfg)
-    t = b.add_lookup_table_from_pairs(
-        tuple((i, (i * 7 + 3) % 64) for i in range(64)))
-    ins, outs = [], []
-    for v in (5, 11, 63):
-        i_t = b.add_virtual_target()
-        o_t = b.add_lookup_from_index(i_t, t)
-        ins.append(i_t)
-        outs.append(o_t)
-    b.register_public_inputs(ins + outs)
+    u = U32Ops(b)
+    xs = [b.add_virtual_target() for _ in range(4)]
+    u.range_check_u32(xs)
+    acc, _carry = u.add_many_u32(xs)
+    b.register_public_input(acc)
     data = b.build()
-    inputs = {t_: np.uint64(v) for t_, v in zip(ins, (5, 11, 63))}
+    inputs = {t: np.uint64(1000 + 7 * i) for i, t in enumerate(xs)}
     want = prover.prove(data, dict(inputs))
     got = SP.prove(data, dict(inputs), mesh)
     verifier.verify(got, data.verifier_only, data.common)

@@ -35,7 +35,14 @@ def bit_rev_perm(log_n: int) -> np.ndarray:
 def _use_host_path() -> bool:
     """Native host commitments when the jax backend is CPU: XLA:CPU NTT/
     Merkle graphs are orders of magnitude slower than the C++ kernels; on
-    real TPU the device path wins and is used unchanged."""
+    real TPU the device path wins and is used unchanged.
+
+    ZKLC_HOST_COMMIT=1 forces the host path on any backend — verification
+    and resume paths use it so that merely CHECKING a proof never
+    allocates multi-GB LDEs in HBM next to an in-flight prove."""
+    import os
+    if os.environ.get("ZKLC_HOST_COMMIT") == "1":
+        return True
     if _NATIVE is None:
         return False
     import jax
