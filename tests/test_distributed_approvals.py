@@ -84,6 +84,24 @@ def test_distributed_dev_leaves_two_workers():
         broker.close()
 
 
+def test_prove_approvals_routes_through_client(monkeypatch):
+    """signatures.prove_approvals(client=...) is the
+    prove_approvals_with_client entry (orchestrator ZKLC_SIG_BROKER /
+    sig_broker flag path)."""
+    sentinel = object()
+    captured = {}
+
+    def fake(message, approvals, validators, client, dev_mode=False):
+        captured.update(client=client, dev=dev_mode)
+        return "d", "p", "c"
+
+    monkeypatch.setattr("zklc_tpu.near.distributed."
+                        "prove_approvals_distributed", fake)
+    out = S.prove_approvals(b"m", [], [], dev_mode=True, client=sentinel)
+    assert out == ("d", "p", "c")
+    assert captured["client"] is sentinel and captured["dev"] is True
+
+
 def test_redelivery_after_worker_death():
     """A worker that pulls a task and dies without acking must not stall
     the fold: the task redelivers and a healthy worker finishes it."""

@@ -99,14 +99,15 @@ class BftProof:
 
 
 def _prove_sig_and_keys(b_target, b_next, validators, dev_mode,
-                        bind_bp_hash):
+                        bind_bp_hash, sig_client=None):
     """Approvals on b_next's header endorse b_target; returns the signature
     fold proof, the keys&stakes proof, the ApprovalCheck, and the borsh
     rows (signatures.rs:43 + keys_stakes.rs:18)."""
     msg = generate_signed_message(b_target.height, b_next.height,
                                   b_target.hash)
     sig_data, sig_proof, check = prove_approvals(
-        msg, b_next.approvals, validators, dev_mode=dev_mode)
+        msg, b_next.approvals, validators, dev_mode=dev_mode,
+        client=sig_client)
 
     borsh = [v.serialize() for v in validators]
     ks_data, (vk_t, val_t, _bp_t) = build_keys_stakes_circuit(
@@ -315,7 +316,7 @@ def _check_stored_hashes(epoch_blocks):
 def prove_block_bft(epoch_blocks: list, blocks: list, validators: list,
                     dev_mode: bool = False, check_only: bool = False,
                     mode: str = "random", bind_bp_hash: bool = True,
-                    validators_n_1: list | None = None):
+                    validators_n_1: list | None = None, sig_client=None):
     """Random mode — blocks: [B_i+4 .. B_i] (5 headers, utils.set_blocks
     order); epoch_blocks: [(stored_hash, Block_0(E-1)),
     (stored_hash, Block_n-1(E-2))]; returns BftProof for B_i.
@@ -355,7 +356,8 @@ def prove_block_bft(epoch_blocks: list, blocks: list, validators: list,
     # target A: B_i (random) / Block_0(E_i) (epoch) = blocks[4]
     b_t, b_next = blocks[4], blocks[3]
     msg, sig, ks, check, borsh = _prove_sig_and_keys(
-        b_t, b_next, validators, dev_mode, bind_bp_hash)
+        b_t, b_next, validators, dev_mode, bind_bp_hash,
+        sig_client=sig_client)
     tag = TAG_EPOCH if mode == "epoch" else TAG_RANDOM
     from .types import b58encode
     res_a = _aggregate_target(
@@ -379,7 +381,8 @@ def prove_block_bft(epoch_blocks: list, blocks: list, validators: list,
     bn1 = blocks[5]
     hdr_bn1 = prove_hdr(bn1, "finality")
     msg_b, sig_b, ks_b, check_b, borsh_b = _prove_sig_and_keys(
-        bn1, blocks[4], validators_n_1, dev_mode, bind_bp_hash)
+        bn1, blocks[4], validators_n_1, dev_mode, bind_bp_hash,
+        sig_client=sig_client)
     res_b = _aggregate_target(
         target_hdr=hdr_bn1, ds_hdr=hdr[4], final_hdr=hdr[3],
         chain_hdrs=[], ep_slot0=ep_hdr[2], ep_slot1=ep_hdr[1],

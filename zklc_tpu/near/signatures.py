@@ -222,14 +222,22 @@ def fold_proof_tree(leaves: list, devices=None,
 
 
 def prove_approvals(message: bytes, approvals: list,
-                    validators: list[Validator], dev_mode: bool = False):
+                    validators: list[Validator], dev_mode: bool = False,
+                    client=None):
     """signatures.rs:43 `prove_approvals`, tree-shaped.
 
     Returns (data, proof, ApprovalCheck): the aggregate proof whose PIs are
     the concatenated leaf transcripts (leaf order = ascending validator
     index); the valid-keys digest binding is applied by
     block_finality.prove_valid_keys_digest on top.
-    """
+
+    With `client` (a transport.QueueClient), leaf proving fans out to
+    worker processes through the broker — the prove_approvals_with_client
+    flavor (signatures.rs:144; near/distributed.py)."""
+    if client is not None:
+        from .distributed import prove_approvals_distributed
+        return prove_approvals_distributed(message, approvals, validators,
+                                           client, dev_mode=dev_mode)
     check = check_approvals(message, approvals, validators)
     sig_pks = []
     for idx in check.valid_indices:

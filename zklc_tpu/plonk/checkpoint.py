@@ -44,6 +44,11 @@ class CheckpointStore:
     def path(self, key: str) -> str:
         return os.path.join(self.dir, key + ".json")
 
+    def _marker_content(self, p: str) -> str:
+        import hashlib
+        with open(p, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
     def load(self, key: str, data):
         """Return the persisted, verified proof for `key` or None."""
         from . import serialization as SER
@@ -57,7 +62,16 @@ class CheckpointStore:
             hasher = data.common.config.hasher
             if hasher == "gl":
                 SER.unpack_gl_digests(proof)
-                if self.verify_on_load:
+                # CPU-verifying a big stage proof costs minutes; a marker
+                # recording the verified file's digest makes the Nth
+                # resume of a crash-looped run skip re-verification
+                marker = p + ".ok"
+                fdig = self._marker_content(p)
+                already = False
+                if os.path.exists(marker):
+                    with open(marker) as f:
+                        already = f.read().strip() == fdig
+                if self.verify_on_load and not already:
                     from . import verifier, prover
                     # a freshly rebuilt circuit has no verifier data until
                     # its constants/sigmas commitment is computed — do it
@@ -66,6 +80,8 @@ class CheckpointStore:
                     if data.verifier_only is None:
                         prover.ensure_constants_sigmas_commitment(data)
                     verifier.verify(proof, data.verifier_only, data.common)
+                    with open(marker, "w") as f:
+                        f.write(fdig)
             elif hasher == "bn128" and self.verify_on_load:
                 # the CPU verifier speaks the GL transcript only; wrap
                 # proofs are checked by the gnark-oracle replay of the Go
@@ -113,6 +129,10 @@ class CheckpointStore:
             with os.fdopen(fd, "w") as f:
                 json.dump(doc, f)
             os.replace(tmp, self.path(key))
+            if common.config.hasher == "gl":
+                # freshly produced by this process -> mark verified
+                with open(self.path(key) + ".ok", "w") as f:
+                    f.write(self._marker_content(self.path(key)))
         except BaseException:
             try:
                 os.unlink(tmp)

@@ -89,6 +89,10 @@ class Orchestrator:
     store: StatusStore = None
     submit_fn: object = None        # executeProofSaving equivalent
     dev_mode: bool = False
+    # broker address ("host:port") enabling distributed signature fan-out
+    # (near/distributed.py; the docker sign_prover replicas of SURVEY
+    # §2.7); also read from ZKLC_SIG_BROKER env
+    sig_broker: str = None
 
     def __post_init__(self):
         if self.store is None:
@@ -120,9 +124,20 @@ class Orchestrator:
             if not ok:
                 return row                        # dedupe DONE + in-flight
         try:
-            res = bft.prove_block_bft(epoch_blocks, blocks, validators,
-                                      dev_mode=self.dev_mode, mode=mode,
-                                      validators_n_1=validators_n_1)
+            sig_client = None
+            broker = self.sig_broker or os.environ.get("ZKLC_SIG_BROKER")
+            if broker:
+                from .transport import QueueClient
+                host, port = broker.rsplit(":", 1)
+                sig_client = QueueClient(host, int(port))
+            try:
+                res = bft.prove_block_bft(epoch_blocks, blocks, validators,
+                                          dev_mode=self.dev_mode, mode=mode,
+                                          validators_n_1=validators_n_1,
+                                          sig_client=sig_client)
+            finally:
+                if sig_client is not None:
+                    sig_client.close()
             results = list(res) if isinstance(res, tuple) else [res]
             targets = [blocks[4]] + ([blocks[5]] if len(results) > 1 else [])
             out_dirs = []
