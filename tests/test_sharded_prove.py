@@ -72,20 +72,13 @@ def test_lde_is_domain_sharded_not_replicated(mesh, circuit):
 
 
 def test_sharded_prove_lookup_circuit(mesh):
-    """A circuit with LogUp lookups (the EdDSA leaf's range-lane family,
-    via the u32 gadget like scripts/tpu_smoke.py) through the sharded path
-    — exercises the multiplicity wire columns and the lookup rows'
-    next-row permutation in the quotient."""
-    from zklc_tpu.gadgets.u32 import U32Ops
-    cfg = CircuitConfig.standard_lookup_config()
-    b = CircuitBuilder(cfg)
-    u = U32Ops(b)
-    xs = [b.add_virtual_target() for _ in range(4)]
-    u.range_check_u32(xs)
-    acc, _carry = u.add_many_u32(xs)
-    b.register_public_input(acc)
-    data = b.build()
-    inputs = {t: np.uint64(1000 + 7 * i) for i, t in enumerate(xs)}
+    """A circuit with LogUp lookups through the sharded path — exercises
+    the multiplicity wire columns and the lookup rows' next-row
+    permutation in the quotient.  Uses the small toy lookup circuit from
+    test_lookup.py (the full 2^16 EdDSA-leaf lookup shape is a TPU-scale
+    compile; CPU covers the protocol semantics at toy size)."""
+    from tests.test_lookup import _toy_circuit
+    data, inputs = _toy_circuit([0, 1, 255, 256, 65535, 12345])
     want = prover.prove(data, dict(inputs))
     got = SP.prove(data, dict(inputs), mesh)
     verifier.verify(got, data.verifier_only, data.common)
