@@ -41,7 +41,8 @@ def time_fn(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_commit(n_dev: int, log_n: int = 10, per_dev_batch: int = 4):
+def bench_commit(n_dev: int, log_n: int = None, per_dev_batch: int = 4):
+    log_n = log_n or int(os.environ.get('ZKLC_SCALING_LOGN', '10'))
     mesh = sharded.make_mesh(n_dev)
     step = sharded.batch_commit_step(mesh, log_n)
     rng = np.random.default_rng(0)
@@ -51,7 +52,8 @@ def bench_commit(n_dev: int, log_n: int = 10, per_dev_batch: int = 4):
     return time_fn(step, gl.from_u64_np(vals))
 
 
-def bench_a2a(n_dev: int, log_n: int = 14):
+def bench_a2a(n_dev: int, log_n: int = None):
+    log_n = log_n or int(os.environ.get('ZKLC_SCALING_A2A_LOGN', '14'))
     mesh = sharded.make_mesh(n_dev, axis="ntt")
     fn = sharded.ntt_all_to_all(mesh, log_n)
     l1 = (log_n + 1) // 2
@@ -62,8 +64,10 @@ def bench_a2a(n_dev: int, log_n: int = 14):
     return time_fn(fn, x[0], x[1])
 
 
-def bench_prover_commit(n_dev: int, num_polys: int = 16, log_n: int = 10,
+def bench_prover_commit(n_dev: int, num_polys: int = 16,
+                        log_n: int = None,
                         rate: int = 3, cap: int = 4):
+    log_n = log_n or int(os.environ.get('ZKLC_SCALING_LOGN', '10'))
     """The PROVER's own commitment (sharded_commit — the path
     prover_tpu.prove(mesh=...) runs for wires/zs/quotient) at mesh size
     n_dev; strong scaling over a fixed poly batch."""
@@ -76,8 +80,9 @@ def bench_prover_commit(n_dev: int, num_polys: int = 16, log_n: int = 10,
     return time_fn(fn, padded)
 
 
-def bench_rev_commit(n_dev: int, num_polys: int = 16, log_n: int = 10,
+def bench_rev_commit(n_dev: int, num_polys: int = 16, log_n: int = None,
                      rate: int = 3, cap: int = 4):
+    log_n = log_n or int(os.environ.get('ZKLC_SCALING_LOGN', '10'))
     """The ROUND-4 no-replication commitment (sharded_prove.
     RevShardedCommitment: poly-sharded NTT -> all_to_all transpose ->
     domain-sharded bit-reversed LDE + local Merkle subtrees); strong
@@ -137,6 +142,7 @@ def main():
             round(t_r1 / (t_rn * n), 3),
         "rev_sharded_commit_ms_1dev": round(t_r1 * 1e3, 2),
         "rev_sharded_commit_ms_ndev": round(t_rn * 1e3, 2),
+        "log_n": int(os.environ.get('ZKLC_SCALING_LOGN', '10')),
         "note": "virtual CPU mesh shares host cores; mechanism check, "
                 "not ICI bandwidth",
     }
