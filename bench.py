@@ -1,5 +1,4 @@
-"""Benchmark on the real TPU chip — streams one JSON line per metric,
-final combined line LAST.
+"""Benchmark on the real TPU chip — cache-first, then live-streamed.
 
 Primary metric (BASELINE.json north star #1): ed25519 signature proofs per
 second per chip, measured on the real batch-K EdDSA leaf circuit
@@ -8,23 +7,30 @@ real validator signatures from the mainnet fixtures with the HBM-resident
 TPU prover — the workload the NEAR pipeline spends its time in
 (~100 signatures per block, SURVEY.md §3.1 hot loop #1).
 
-Driver-window-proofing (VERDICT r3 weak #1 / next #1):
-  * a TOTAL budget is read from ZKLC_BENCH_BUDGET_S (default 2400 s) and
-    every child subprocess timeout is derived from the remaining budget —
-    the harness finishes before any sane driver deadline;
-  * the signature metric runs FIRST;
-  * every metric prints as its own flushed JSON line the moment it lands
-    (a driver kill can no longer erase finished measurements), and the
-    combined line is printed last;
-  * children stream provisional RES lines after the warm-up prove, so even
-    a timed-out child yields a number (TimeoutExpired.stdout is parsed);
-  * there is NO unbounded in-process fallback, and any child failure
-    (crash or timeout) retries uniformly with stderr logged (ADVICE r3).
+Driver-window-proofing (VERDICT r4 next #1) — this harness must produce a
+parseable tail under ANY driver deadline, and a LIVE sig/s line whenever
+the window allows:
+  1. CACHE FIRST: every successful live measurement persists to
+     proofs/bench_cache.json; on startup the cached lines are emitted
+     within the first seconds, marked "quality": "cached" with the
+     timestamp they were measured.  A driver kill at t=+10s still yields
+     a parsed artifact.
+  2. STREAMING PARENT: children are run via Popen and their stdout is
+     read line-by-line; each RES line a child streams is re-emitted by
+     the parent AS A METRIC LINE the moment it arrives.  In r3/r4 the
+     parent only printed after subprocess.run() returned, so a mid-child
+     driver kill erased everything — that failure mode is gone.
+  3. The signature metric runs FIRST and its child streams a provisional
+     number right after the warm-up prove.
+  4. Cold-start is cut by the persistent circuit-build cache
+     (near/circuit_cache.py) + the persistent XLA compile cache
+     (runtime.py): a fresh process skips the Python circuit build.
 
-vs_baseline: the reference publishes no per-signature number (SURVEY.md §6)
-and the image has no Rust toolchain to measure it, so the baseline is the
-documented plonky2 wide_ecc ballpark of ~10 s/signature on a 16-core rayon
-CPU (crypto/plonky2_ed25519/src/main.rs:25 harness) => 0.1 sig/s.
+vs_baseline honesty (VERDICT r4 next #7): the reference publishes NO
+per-signature or NTT number (BASELINE.md:25-28 — "must be measured"), and
+the image has no Rust toolchain to measure its TimingTree.  The
+denominators below are therefore ESTIMATES, marked as such in every
+emitted line via "baseline_quality": "estimate" + "baseline_basis".
 """
 import json
 import os
@@ -36,11 +42,21 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-CPU_REFERENCE_SIG_PER_S = 0.1     # plonky2 wide_ecc ed25519, 16-core rayon
-CPU_REFERENCE_NTT_MS = 100.0      # 2^22 radix-2 Goldilocks, 16-core rayon
+# ESTIMATED baselines — the reference publishes neither number
+# (BASELINE.md:25-28).  Basis strings are embedded in every emitted line.
+CPU_REFERENCE_SIG_PER_S = 0.1     # ~10 s/sig: plonky2 wide-ecc ed25519 on a
+SIG_BASELINE_BASIS = ("estimate; reference publishes no per-signature time "
+                      "(BASELINE.md:25-28); ~10 s/sig ballpark for plonky2 "
+                      "ed25519 on a 16-core rayon CPU "
+                      "(crypto/plonky2_ed25519 harness class)")
+CPU_REFERENCE_NTT_MS = 100.0
+NTT_BASELINE_BASIS = ("estimate; reference publishes no NTT time "
+                      "(BASELINE.md:25-28); ~100 ms ballpark for a 2^22 "
+                      "radix-2 Goldilocks NTT on a 16-core rayon CPU")
 LOG_N = 22
 TOTAL_BUDGET_S = float(os.environ.get("ZKLC_BENCH_BUDGET_S", "2400"))
 _DEADLINE = time.time() + TOTAL_BUDGET_S
+CACHE_PATH = os.path.join("proofs", "bench_cache.json")
 
 
 def _remaining() -> float:
@@ -49,6 +65,25 @@ def _remaining() -> float:
 
 def emit(obj) -> None:
     print(json.dumps(obj), flush=True)
+
+
+def _load_cache() -> dict:
+    try:
+        with open(CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_cache(cache: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(CACHE_PATH), exist_ok=True)
+        tmp = CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=1)
+        os.replace(tmp, CACHE_PATH)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        print(f"bench cache save failed: {e!r}", file=sys.stderr, flush=True)
 
 
 # ---------------------------------------------------------------------------
@@ -77,9 +112,9 @@ def child_sig(budget_s: float) -> None:
         sig_pks.append((sig[1:] if len(sig) == 65 else sig,
                         validators[idx].public_key[1:]))
 
-    # warm-up: circuit build + witness tape + kernel cache.  Its wall time
-    # upper-bounds the warm latency -> provisional number streams out
-    # immediately in case the driver kills us mid-refinement.
+    # warm-up: circuit build (disk-cached) + witness tape + kernel cache.
+    # Its wall time upper-bounds the warm latency -> provisional number
+    # streams out immediately in case the driver kills us mid-refinement.
     t0 = time.perf_counter()
     S.prove_signature_batch(msg, sig_pks)
     warm = time.perf_counter() - t0
@@ -126,106 +161,185 @@ def child_ntt() -> None:
 # parent-side harness
 # ---------------------------------------------------------------------------
 
-def _parse_res(text: str):
-    """Last RES line of a child's stdout, or None."""
-    if not text:
-        return None
-    for line in reversed(text.strip().splitlines()):
-        if line.startswith("RES"):
-            try:
-                return json.loads(line[3:])
-            except json.JSONDecodeError:
-                continue
-    return None
+def _sig_line(sig_per_s, leaf_s, quality, measured_at=None):
+    line = {"metric": "ed25519_sig_proofs_per_sec_per_chip",
+            "value": round(sig_per_s, 4), "unit": "sig/s",
+            "vs_baseline": round(sig_per_s / CPU_REFERENCE_SIG_PER_S, 3),
+            "baseline_quality": "estimate",
+            "baseline_basis": SIG_BASELINE_BASIS,
+            "quality": quality}
+    if leaf_s is not None:
+        line["eddsa_leaf_s"] = round(leaf_s, 3)
+    if measured_at is not None:
+        line["measured_at"] = measured_at
+    return line
 
 
-def run_child(call: str, timeout_s: float, attempts: int = 2):
-    """Run `bench.<call>` in a subprocess; retry on ANY failure (crash or
-    timeout, uniformly — ADVICE r3); salvage the last streamed RES line
-    even from a timed-out child."""
+def _ntt_line(ntt_ms, quality, measured_at=None):
+    line = {"metric": "goldilocks_ntt_2^22_ms", "value": round(ntt_ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(CPU_REFERENCE_NTT_MS / ntt_ms, 3),
+            "baseline_quality": "estimate",
+            "baseline_basis": NTT_BASELINE_BASIS,
+            "quality": quality}
+    if measured_at is not None:
+        line["measured_at"] = measured_at
+    return line
+
+
+def stream_child(call: str, timeout_s: float, on_res, attempts: int = 2):
+    """Run `bench.<call>` in a subprocess via Popen, parsing RES lines the
+    instant they stream out; `on_res(payload)` is invoked per line so the
+    parent can emit metric lines mid-child.  Returns the last payload."""
     code = ("import sys; sys.path.insert(0, '.'); "
             f"import bench; bench.{call}")
     best = None
     for att in range(attempts):
         if _remaining() < 30:
             break
-        tmo = max(30.0, min(timeout_s, _remaining() - 15))
+        tmo = max(30.0, min(timeout_s, _remaining() - 10))
+        t_end = time.time() + tmo
         try:
-            res = subprocess.run([sys.executable, "-c", code],
-                                 capture_output=True, text=True,
-                                 timeout=tmo, cwd=".")
-            got = _parse_res(res.stdout)
-            if got is not None:
-                return got
-            print(f"bench child {call} attempt {att}: rc={res.returncode} "
-                  f"no RES; stderr tail: {res.stderr[-800:]}",
+            proc = subprocess.Popen([sys.executable, "-c", code],
+                                    stdout=subprocess.PIPE,
+                                    stderr=subprocess.PIPE,
+                                    text=True, cwd=".")
+        except Exception as e:  # noqa: BLE001
+            print(f"bench child {call} attempt {att}: spawn {e!r}",
                   file=sys.stderr, flush=True)
-        except subprocess.TimeoutExpired as e:
-            out = e.stdout if isinstance(e.stdout, str) else (
-                e.stdout.decode(errors="replace") if e.stdout else "")
-            got = _parse_res(out)
-            if got is not None:
-                best = got          # provisional from a killed child
-            print(f"bench child {call} attempt {att}: timeout {tmo:.0f}s "
-                  f"(salvaged={got is not None})",
-                  file=sys.stderr, flush=True)
-        except Exception as e:      # noqa: BLE001 — report and retry
-            print(f"bench child {call} attempt {att}: {e!r}",
-                  file=sys.stderr, flush=True)
+            continue
+        import selectors
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        timed_out = False
+        try:
+            while True:
+                if time.time() > t_end:
+                    timed_out = True
+                    proc.kill()
+                    break
+                if not sel.select(timeout=1.0):
+                    if proc.poll() is not None:
+                        break
+                    continue
+                line = proc.stdout.readline()
+                if not line:
+                    break
+                if line.startswith("RES"):
+                    try:
+                        payload = json.loads(line[3:])
+                    except json.JSONDecodeError:
+                        continue
+                    best = payload
+                    try:
+                        on_res(payload)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"on_res error: {e!r}", file=sys.stderr,
+                              flush=True)
+        finally:
+            sel.close()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+        if best is not None:
+            return best
+        err = proc.stderr.read() if proc.stderr else ""
+        why = f"timeout {tmo:.0f}s" if timed_out else f"rc={proc.returncode}"
+        print(f"bench child {call} attempt {att}: {why} no RES; "
+              f"stderr tail: {err[-800:]}", file=sys.stderr, flush=True)
     return best
 
 
 def main():
-    extra = {}
-    sig_per_s = leaf_s = None
-    ntt_ms = None
+    run_ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    cache = _load_cache()
 
-    # 1. PRIMARY metric first: ed25519 sig proofs/s (never yet captured)
-    ntt_reserve = 300.0
+    # ---- 0. cached lines FIRST: a parseable tail within seconds --------
+    have_cached_sig = have_cached_ntt = False
+    c = cache.get("sig")
+    if c:
+        emit(_sig_line(c["sig_per_s"], c.get("leaf_s"), "cached",
+                       measured_at=c.get("measured_at")))
+        have_cached_sig = True
+    c = cache.get("ntt")
+    if c:
+        emit(_ntt_line(c["ntt_ms"], "cached",
+                       measured_at=c.get("measured_at")))
+        have_cached_ntt = True
+
+    live = {"sig": None, "ntt": None}
+
+    # ---- 1. PRIMARY metric: live ed25519 sig proofs/s ------------------
+    ntt_reserve = 240.0
     sig_budget = max(60.0, _remaining() - ntt_reserve)
-    got = run_child(f"child_sig({sig_budget:.0f})",
-                    timeout_s=sig_budget, attempts=2)
-    if got is not None:
-        sig_per_s, leaf_s = float(got[0]), float(got[1])
-        emit({"metric": "ed25519_sig_proofs_per_sec_per_chip",
-              "value": round(sig_per_s, 4), "unit": "sig/s",
-              "vs_baseline": round(sig_per_s / CPU_REFERENCE_SIG_PER_S, 3),
-              "quality": got[2] if len(got) > 2 else None})
 
-    # 2. Goldilocks 2^22 NTT latency (north star #2)
-    got = run_child("child_ntt()", timeout_s=min(600.0, _remaining()),
-                    attempts=2)
-    if got is not None:
-        ntt_ms = float(got[0])
-        emit({"metric": "goldilocks_ntt_2^22_ms", "value": round(ntt_ms, 3),
-              "unit": "ms",
-              "vs_baseline": round(CPU_REFERENCE_NTT_MS / ntt_ms, 3),
-              "quality": got[1] if len(got) > 1 else None})
+    def on_sig(payload):
+        sig_per_s, leaf_s = float(payload[0]), float(payload[1])
+        q = payload[2] if len(payload) > 2 else "live"
+        live["sig"] = (sig_per_s, leaf_s)
+        emit(_sig_line(sig_per_s, leaf_s, f"live-{q}", measured_at=run_ts))
+        cache["sig"] = {"sig_per_s": sig_per_s, "leaf_s": leaf_s,
+                        "measured_at": run_ts, "quality": q}
+        _save_cache(cache)
 
-    # 3. combined line LAST (the driver records the tail)
-    if leaf_s is not None:
-        extra["eddsa_batch4_leaf_s"] = round(leaf_s, 3)
+    stream_child(f"child_sig({sig_budget:.0f})", timeout_s=sig_budget,
+                 on_res=on_sig, attempts=2)
+
+    # ---- 2. Goldilocks 2^22 NTT latency (north star #2) ----------------
+    def on_ntt(payload):
+        ntt_ms = float(payload[0])
+        q = payload[1] if len(payload) > 1 else "live"
+        if q == "warmup":          # compile time, not steady-state: skip
+            return
+        live["ntt"] = ntt_ms
+        emit(_ntt_line(ntt_ms, f"live-{q}", measured_at=run_ts))
+        cache["ntt"] = {"ntt_ms": ntt_ms, "measured_at": run_ts,
+                        "quality": q}
+        _save_cache(cache)
+
+    stream_child("child_ntt()", timeout_s=min(600.0, _remaining()),
+                 on_res=on_ntt, attempts=2)
+
+    # ---- 3. combined line LAST (the driver records the tail) -----------
+    extra = {}
+    sig = live["sig"] or (cache.get("sig") and
+                          (cache["sig"]["sig_per_s"],
+                           cache["sig"].get("leaf_s")))
+    ntt_ms = live["ntt"] if live["ntt"] is not None else (
+        cache.get("ntt", {}).get("ntt_ms"))
+    if sig is not None and sig[1] is not None:
+        extra["eddsa_leaf_s"] = round(sig[1], 3)
     if ntt_ms is not None:
         extra["goldilocks_ntt_2^22_ms"] = round(ntt_ms, 3)
-        extra["ntt_vs_cpu_reference"] = round(CPU_REFERENCE_NTT_MS / ntt_ms,
-                                              3)
-    if sig_per_s is not None:
-        emit({"metric": "ed25519_sig_proofs_per_sec_per_chip",
-              "value": round(sig_per_s, 4), "unit": "sig/s",
-              "vs_baseline": round(sig_per_s / CPU_REFERENCE_SIG_PER_S, 3),
-              "extra": extra})
+        extra["ntt_vs_cpu_estimate"] = round(CPU_REFERENCE_NTT_MS / ntt_ms, 3)
+    extra["sig_live"] = live["sig"] is not None
+    extra["ntt_live"] = live["ntt"] is not None
+
+    if sig is not None:
+        sig_is_live = live["sig"] is not None
+        line = _sig_line(sig[0], sig[1],
+                         "live" if sig_is_live else "cached",
+                         measured_at=run_ts if sig_is_live
+                         else cache.get("sig", {}).get("measured_at"))
+        line["extra"] = extra
+        emit(line)
     elif ntt_ms is not None:
-        # explicit null for the missing primary, not a silent omission
         extra["ed25519_sig_proofs_per_sec_per_chip"] = None
-        emit({"metric": "goldilocks_ntt_2^22_ms", "value": round(ntt_ms, 3),
-              "unit": "ms",
-              "vs_baseline": round(CPU_REFERENCE_NTT_MS / ntt_ms, 3),
-              "extra": extra})
+        ntt_is_live = live["ntt"] is not None
+        line = _ntt_line(ntt_ms,
+                         "live" if ntt_is_live else "cached",
+                         measured_at=run_ts if ntt_is_live
+                         else cache.get("ntt", {}).get("measured_at"))
+        line["extra"] = extra
+        emit(line)
     else:
         emit({"metric": "ed25519_sig_proofs_per_sec_per_chip", "value": None,
               "unit": "sig/s", "vs_baseline": None,
-              "error": "all bench children failed within budget "
-                       f"{TOTAL_BUDGET_S:.0f}s"})
+              "error": "no cached metrics and all bench children failed "
+                       f"within budget {TOTAL_BUDGET_S:.0f}s"})
+    _ = have_cached_sig, have_cached_ntt
 
 
 if __name__ == "__main__":
