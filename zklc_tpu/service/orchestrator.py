@@ -93,6 +93,10 @@ class Orchestrator:
     # (near/distributed.py; the docker sign_prover replicas of SURVEY
     # §2.7); also read from ZKLC_SIG_BROKER env
     sig_broker: str = None
+    # "plonk" (the circuit pipeline) or "statement" (the second
+    # implementation as a receipt-producing dev backend — the risc0
+    # proving-server alternative, near_risc0/host/src/service.rs:60-86)
+    backend: str = "plonk"
 
     def __post_init__(self):
         if self.store is None:
@@ -124,6 +128,10 @@ class Orchestrator:
             if not ok:
                 return row                        # dedupe DONE + in-flight
         try:
+            if self.backend == "statement":
+                return self._generate_statement_proof(
+                    block_hash, epoch_blocks, blocks, validators,
+                    mode, validators_n_1)
             sig_client = None
             broker = self.sig_broker or os.environ.get("ZKLC_SIG_BROKER")
             if broker:
@@ -159,6 +167,30 @@ class Orchestrator:
             self.store.set(block_hash, status=ProofStatus.ERROR,
                            error=str(e)[:500])
             raise
+        return self.store.get(block_hash)
+
+    def _generate_statement_proof(self, block_hash, epoch_blocks, blocks,
+                                  validators, mode, validators_n_1):
+        """Route a proving task through the second implementation: the
+        native statement executor emits a dev-mode receipt (journal +
+        fake seal) that flows through the same status store / artifact /
+        submit path as a circuit proof — the RISC0_DEV_MODE proving-server
+        alternative (near_risc0/host/src/service.rs:60-86,
+        host/tests/tests.rs:16-17)."""
+        from ..near import statement_prover as SP
+        if mode == "epoch":
+            row = SP.generate_epoch_proof(epoch_blocks, blocks, validators,
+                                          validators_n_1)
+        else:
+            row = SP.generate_random_proof(epoch_blocks, blocks, validators)
+        d = os.path.join(self.proofs_dir, mode, block_hash)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "receipt.json"), "w") as f:
+            json.dump(row, f, indent=1)
+        if self.submit_fn is not None:
+            self.submit_fn(row["journal"], d)
+        self.store.set(block_hash, status=ProofStatus.DONE,
+                       artifacts=d, backend="statement")
         return self.store.get(block_hash)
 
     # -- proof.controller.ts:50 getProofStatus ------------------------------
