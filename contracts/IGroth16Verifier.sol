@@ -10,4 +10,14 @@ interface IGroth16Verifier {
         uint256[4] calldata input,
         uint256[8] calldata proof
     ) external view returns (bool);
+
+    function verifyCompressedProof(
+        uint256[4] calldata compressedProof,
+        uint256[4] calldata input
+    ) external view returns (bool);
+
+    function compressProof(uint256[8] calldata proof)
+        external
+        view
+        returns (uint256[4] memory);
 }

@@ -34,6 +34,10 @@ contract NearBlockVerification {
     mapping(uint256 => bytes32[2]) public epochHashesByHeight;
 
     event ProofVerifiedAndSaved(uint256[4] publicInputs, uint256[8] proof);
+    event CompressedProofVerifiedAndSaved(
+        uint256[4] publicInputs,
+        uint256[4] compressedProof
+    );
     event CheckpointUpdated(uint256 height);
 
     error NotOwner();
@@ -72,6 +76,19 @@ contract NearBlockVerification {
         if (!verifier.verifyProof(input, proof)) revert InvalidProof();
         provenHashes[_key(input[0], input[1])] = true;
         emit ProofVerifiedAndSaved(input, proof);
+    }
+
+    /// @notice 128-byte-calldata variant: verify a compressed proof and
+    /// store the block hash (reference surface:
+    /// NearBlockVerification.sol:102 verifyAndSaveCompressedProof).
+    function verifyAndSaveCompressedProof(
+        uint256[4] calldata input,
+        uint256[4] calldata compressedProof
+    ) external whenNotPaused {
+        if (!verifier.verifyCompressedProof(compressedProof, input))
+            revert InvalidProof();
+        provenHashes[_key(input[0], input[1])] = true;
+        emit CompressedProofVerifiedAndSaved(input, compressedProof);
     }
 
     /// @notice Query by the two packed PI words (reference :124).

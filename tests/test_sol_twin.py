@@ -106,3 +106,36 @@ def test_generator_corruption_detected(vk, demo_proof):
     except ST.SolError:
         got = False
     assert got is False
+
+
+# ---- compressed path (Verifier.sol:102 verifyCompressedProof) ----------
+
+def test_contract_text_accepts_compressed_proof(contract, demo_proof):
+    from zklc_tpu.wrap import compress as Z
+    inputs, proof8 = demo_proof
+    proof4 = Z.compress_proof(proof8)
+    assert ST.verify_compressed_via_contract_text(contract, inputs, proof4)
+    # decompression recovered through the TEXT matches the direct one
+    assert ST.decompress_via_contract_text(contract, proof4) == proof8
+
+
+def test_compressed_tamper_rejected(contract, demo_proof):
+    from zklc_tpu.wrap import compress as Z
+    inputs, proof8 = demo_proof
+    proof4 = Z.compress_proof(proof8)
+    bad = list(proof4)
+    bad[0] ^= 1                     # flip A's sign bit -> pairing fails
+    assert not ST.verify_compressed_via_contract_text(contract, inputs, bad)
+
+
+def test_compressed_constant_corruption_detected(vk, demo_proof):
+    """A corrupted EXP_SQRT splice must be caught by the twin's
+    cross-check, not silently produce wrong decompressions."""
+    from zklc_tpu.wrap import compress as Z
+    inputs, proof8 = demo_proof
+    proof4 = Z.compress_proof(proof8)
+    src = EV.deployable_contract(vk)
+    import re
+    src_bad = re.sub(r"(EXP_SQRT =\s*\n?\s*)\d+", r"\g<1>12345", src)
+    with pytest.raises(ST.SolError, match="EXP_SQRT"):
+        ST.verify_compressed_via_contract_text(src_bad, inputs, proof4)

@@ -47,6 +47,27 @@ class Groth16VerifierModel:
             raise InvalidProof("bad calldata shape")
         return G.verify(self.vk, list(proof8), list(input4))
 
+    def verify_compressed_proof(self, compressed4: list,
+                                input4: list) -> bool:
+        """Verifier.sol verifyCompressedProof(uint256[4], uint256[4]):
+        decompress (full on-curve validation), then the pairing check."""
+        from . import compress as Z
+        if len(input4) != 4 or len(compressed4) != 4:
+            raise InvalidProof("bad calldata shape")
+        try:
+            proof8 = Z.decompress_proof(list(compressed4))
+        except Z.CompressionError as e:
+            raise InvalidProof(str(e)) from e
+        return G.verify(self.vk, proof8, list(input4))
+
+    def compress_proof(self, proof8: list) -> list:
+        """Verifier.sol compressProof view helper."""
+        from . import compress as Z
+        try:
+            return Z.compress_proof(list(proof8))
+        except Z.CompressionError as e:
+            raise InvalidProof(str(e)) from e
+
 
 @dataclass
 class NearBlockVerificationModel:
@@ -79,6 +100,17 @@ class NearBlockVerificationModel:
             raise InvalidProof()
         self.proven[self._key(input4[0], input4[1])] = True
         self.events.append(("ProofVerifiedAndSaved", tuple(input4)))
+
+    def verify_and_save_compressed_proof(self, input4, compressed4,
+                                         sender: str = "anyone"):
+        """NearBlockVerification.sol:102 verifyAndSaveCompressedProof —
+        the 128-byte-calldata entry point."""
+        self._when_not_paused()
+        if not self.verifier.verify_compressed_proof(compressed4, input4):
+            raise InvalidProof()
+        self.proven[self._key(input4[0], input4[1])] = True
+        self.events.append(("CompressedProofVerifiedAndSaved",
+                            tuple(input4)))
 
     def is_proofed(self, hash_words) -> bool:
         return self.proven.get(self._key(hash_words[0], hash_words[1]),

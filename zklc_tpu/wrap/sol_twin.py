@@ -129,3 +129,90 @@ def verify_via_contract_text(src: str, inputs: list, proof8: list) -> bool:
             raise SolError(f"pairing slot {i}: G2 off-curve")
         pairs.append((g1, g2))
     return C.pairing_product_is_one(pairs)
+
+
+# ---------------------------------------------------------------------------
+# compressed path (verifyCompressedProof / compressProof in the emitted
+# text — Verifier.sol:102's 128-byte entry)
+# ---------------------------------------------------------------------------
+
+def _compressed_constants(src: str) -> dict:
+    """Parse the compression constants from the emitted text and validate
+    each against its mathematical definition — a corrupted splice of
+    EXP_SQRT or a 3/(9+i) fraction silently breaks every decompression,
+    so they are cross-checked, not trusted."""
+    consts = _parse_constants(src)
+    expected = {
+        "EXP_SQRT": (C.P + 1) // 4,
+        "EXP_LEGENDRE": (C.P - 1) // 2,
+        "FRACTION_27_82_FP": 27 * pow(82, C.P - 2, C.P) % C.P,
+        "FRACTION_3_82_FP": 3 * pow(82, C.P - 2, C.P) % C.P,
+        "FRACTION_1_2_FP": pow(2, C.P - 2, C.P),
+    }
+    for name, want in expected.items():
+        if name not in consts:
+            raise SolError(f"compressed constant {name} missing from text")
+        if consts[name] != want:
+            raise SolError(f"compressed constant {name} corrupt: "
+                           f"{consts[name]} != {want}")
+    return consts
+
+
+def _parse_decompress_wiring(src: str) -> dict:
+    """Recover the B-point im/re wiring of _decompressProof as written:
+    {proof_slot: component_name} for the four G2 assignments."""
+    m = re.search(
+        r"\(uint256 (\w+), uint256 (\w+), uint256 (\w+), uint256 (\w+)\) =\s*"
+        r"_decompressG2\(compressed\[1\], compressed\[2\]\);", src)
+    if not m:
+        raise SolError("decompressG2 destructuring not found")
+    # _decompressG2 returns (x0=re, x1=im, y0=re, y1=im) by its signature
+    names = {m.group(1): "x_re", m.group(2): "x_im",
+             m.group(3): "y_re", m.group(4): "y_im"}
+    wiring = {}
+    for mm in re.finditer(r"proof\[([2-5])\] = (\w+);", src):
+        nm = mm.group(2)
+        if nm not in names:
+            raise SolError(f"unknown component {nm} wired into proof[]")
+        wiring[int(mm.group(1))] = names[nm]
+    if sorted(wiring) != [2, 3, 4, 5]:
+        raise SolError(f"incomplete B wiring: {sorted(wiring)}")
+    return wiring
+
+
+def decompress_via_contract_text(src: str, proof4: list) -> list:
+    """Run _decompressProof(compressed) as the emitted text specifies,
+    returning the 8-word wire proof."""
+    if not re.search(
+            r"function verifyCompressedProof\(", src):
+        raise SolError("contract has no verifyCompressedProof")
+    if not re.search(
+            r"_verify\(input, _decompressProof\(compressedProof\)\)", src):
+        raise SolError("verifyCompressedProof does not route through "
+                       "_decompressProof + _verify")
+    _compressed_constants(src)
+    wiring = _parse_decompress_wiring(src)
+    from . import compress as Z
+    try:
+        ax, ay = Z.decompress_g1(int(proof4[0]))
+        x0, x1, y0, y1 = Z.decompress_g2(int(proof4[1]), int(proof4[2]))
+        cx, cy = Z.decompress_g1(int(proof4[3]))
+    except Z.CompressionError as e:
+        raise SolError(f"InvalidProof: {e}") from e
+    comp = {"x_re": x0, "x_im": x1, "y_re": y0, "y_im": y1}
+    proof8 = [ax, ay, 0, 0, 0, 0, cx, cy]
+    for slot, name in wiring.items():
+        proof8[slot] = comp[name]
+    # the wire layout demands im-first (EIP-197); a generator that wires
+    # re-first produces B outside the curve check in _verify, but catch
+    # the swap explicitly here for a precise error
+    if wiring != {2: "x_im", 3: "x_re", 4: "y_im", 5: "y_re"}:
+        raise SolError(f"B-point im/re wiring swapped: {wiring}")
+    return proof8
+
+
+def verify_compressed_via_contract_text(src: str, inputs: list,
+                                        proof4: list) -> bool:
+    """Run verifyCompressedProof(compressedProof, input) as written."""
+    return verify_via_contract_text(
+        src, inputs, decompress_via_contract_text(src, proof4))
