@@ -153,3 +153,22 @@ def prove_approvals_distributed(message: bytes, approvals: list,
     leaves = [results[s] for s in starts]     # validator-index order
     data, proof = fold_proof_tree(leaves)
     return data, proof, check
+
+
+def main(argv=None):  # pragma: no cover — CLI for real deployments
+    """sign_prover replica entry point (docker-compose.yml sign_prover,
+    Getting-started.md:129): pull PROVE_SIGNATURE tasks off the broker
+    until terminated."""
+    import argparse
+    ap = argparse.ArgumentParser(description="zklc signature worker")
+    ap.add_argument("--worker", required=True, metavar="HOST:PORT",
+                    help="broker address")
+    ap.add_argument("--max-messages", type=int, default=None)
+    args = ap.parse_args(argv)
+    host, port = args.worker.rsplit(":", 1)
+    print(f"signature worker pulling from {host}:{port}", flush=True)
+    run_signature_worker(host, int(port), max_messages=args.max_messages)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -143,3 +143,46 @@ def serve_forever(api: ProofApi, host="0.0.0.0", port=9024):
     """server.ts:11-30 boot (port 9024 matches the reference)."""
     srv = make_server(api, host, port)
     srv.serve_forever()
+
+
+def fixture_fetch_task(data_dir: str = "/root/reference/data"):
+    """fetch_task_fn resolving block hashes against the epoch fixtures —
+    the offline stand-in for the near-helper.ts RPC task builders."""
+    from ..near import utils as U
+    from ..near.types import b58encode
+
+    def fetch(block_hash: str):
+        eps = U.ordered_epochs(data_dir)
+        epoch_blocks, blocks = U.set_blocks(eps[-1], eps[-2], eps[-3],
+                                            data_dir=data_dir)
+        if b58encode(blocks[4].hash) != block_hash:
+            return None
+        import os.path as p
+        validators = U.load_validators(
+            p.join(U.epoch_dir(eps[-1], data_dir), "validators.json"))
+        return epoch_blocks, blocks[:5], validators, "random", None
+    return fetch
+
+
+def main(argv=None):  # pragma: no cover — CLI for real deployments
+    import argparse
+    ap = argparse.ArgumentParser(description="zklc proof HTTP service")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=9024)
+    ap.add_argument("--proofs-dir", default="proofs")
+    ap.add_argument("--data-dir", default="/root/reference/data",
+                    help="epoch fixture dir for the offline task fetcher")
+    ap.add_argument("--backend", default="plonk",
+                    choices=["plonk", "statement"])
+    ap.add_argument("--dev", action="store_true")
+    args = ap.parse_args(argv)
+    orch = Orchestrator(proofs_dir=args.proofs_dir, dev_mode=args.dev,
+                        backend=args.backend)
+    api = ProofApi(orch, fixture_fetch_task(args.data_dir))
+    print(f"proof service on {args.host}:{args.port} "
+          f"(backend={args.backend})", flush=True)
+    serve_forever(api, args.host, args.port)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
