@@ -624,7 +624,7 @@ def _quotient_parts(common):
                     outs_hi.append(acc[0])
                     outs_lo.append(acc[1])
                 return (jnp.stack(outs_hi), jnp.stack(outs_lo))
-            return jax.jit(fn)
+            return fn
 
         def base_fn(wires, cs, zspp, betas_d, gammas_d, alphas_d, deltas_d,
                     x, zh_inv, l0, next_perm=None):
@@ -698,10 +698,17 @@ def _quotient_parts(common):
             acc = gl.canonicalize(acc)
             return acc
 
+        # disk-backed AOT trace cache (utils/aot.py): a cold process
+        # deserializes these kernels instead of re-tracing the per-gate
+        # evaluators (minutes of pure Python for the EdDSA leaf shape)
+        import hashlib
+        from ..utils.aot import aot_jit
+        skey = hashlib.sha256(repr(key).encode()).hexdigest()[:16]
         _quotient_parts_cache[key] = (
-            jax.jit(base_fn),
-            [make_gate_fn(gi, g) for gi, g in enumerate(common.gate_types)],
-            jax.jit(finish_fn),
+            aot_jit(base_fn, f"qbase|{skey}"),
+            [aot_jit(make_gate_fn(gi, g), f"qgate|{skey}|{gi}|{g.id()}")
+             for gi, g in enumerate(common.gate_types)],
+            aot_jit(finish_fn, f"qfinish|{skey}"),
         )
     return _quotient_parts_cache[key]
 
