@@ -101,6 +101,11 @@ def real_inner(mode: str, ckpt_dir: str, data_dir: str):
                               dev_mode=False, check_only=False,
                               mode=mode, validators_n_1=vn1)
     r = res[0] if isinstance(res, tuple) else res
+    # on a pure checkpoint-resume nothing proved, so the aggregation
+    # circuit's verifier data was never materialized — build it now (host
+    # commitment of the constants+sigmas batch; deterministic)
+    from zklc_tpu.plonk import prover
+    prover.ensure_constants_sigmas_commitment(r.data)
     verifier.verify(r.proof, r.data.verifier_only, r.data.common)
     name = b58encode(blocks[4].hash)
     print(f"final aggregation proof for {name} verified "
