@@ -76,24 +76,40 @@ def aot_jit(fn, key: str):
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
-                    ex = jax.export.deserialize(bytearray(f.read()))
+                    blob = bytearray(f.read())
+                # pallas kernels (tpu_custom_call) do NOT survive the
+                # export round-trip faithfully — reloaded modules run but
+                # return wrong values (observed: PoseidonGate quotient
+                # kernel, r5).  Refuse to reload any entry containing one.
+                if b"tpu_custom_call" in blob:
+                    raise ValueError("entry contains tpu_custom_call "
+                                     "(pallas); AOT reload unsound")
+                ex = jax.export.deserialize(blob)
                 call = jax.jit(ex.call)
             except Exception as e:  # noqa: BLE001 — stale/corrupt entry
                 print(f"[aot] reload failed for {key}: {e!r}; retracing",
                       flush=True)
                 call = None
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
         if call is None:
             try:
                 sds = jax.tree_util.tree_map(
                     lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args)
-                # the cache never leaves this machine/version (see digest),
-                # so non-stable custom calls (pallas tpu_custom_call,
-                # sharding annotations) are safe to serialize
+                # sharding/placement annotations are safe for a
+                # same-machine cache; pallas tpu_custom_call is NOT on the
+                # allow-list — kernels containing one raise here and run
+                # as plain jit (their reloads return wrong values)
                 checks = [jax.export.DisabledSafetyCheck.custom_call(c)
-                          for c in ("tpu_custom_call", "Sharding",
+                          for c in ("Sharding",
                                     "annotate_device_placement")]
                 ex = jax.export.export(jfn, disabled_checks=checks)(*sds)
                 blob = ex.serialize()
+                if b"tpu_custom_call" in blob:
+                    raise ValueError("kernel contains tpu_custom_call "
+                                     "(pallas); AOT caching unsound")
                 with _lock:
                     tmp = f"{path}.tmp.{os.getpid()}"
                     with open(tmp, "wb") as f:
