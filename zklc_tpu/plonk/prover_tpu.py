@@ -703,11 +703,22 @@ def _quotient_parts(common):
         # evaluators (minutes of pure Python for the EdDSA leaf shape)
         import hashlib
         from ..utils.aot import aot_jit
+        from . import gates as G
+
+        def wrap_gate(gi, g):
+            fn = make_gate_fn(gi, g)
+            if isinstance(g, G.PoseidonGate):
+                # the rolled fori_loop/dynamic_update_slice kernel does
+                # NOT survive jax.export faithfully — ex.call computes
+                # wrong values even in-process (isolated by the r5
+                # per-kernel equivalence hunt); always trace it live
+                return jax.jit(fn)
+            return aot_jit(fn, f"qgate|{skey}|{gi}|{g.id()}")
+
         skey = hashlib.sha256(repr(key).encode()).hexdigest()[:16]
         _quotient_parts_cache[key] = (
             aot_jit(base_fn, f"qbase|{skey}"),
-            [aot_jit(make_gate_fn(gi, g), f"qgate|{skey}|{gi}|{g.id()}")
-             for gi, g in enumerate(common.gate_types)],
+            [wrap_gate(gi, g) for gi, g in enumerate(common.gate_types)],
             aot_jit(finish_fn, f"qfinish|{skey}"),
         )
     return _quotient_parts_cache[key]
