@@ -118,8 +118,8 @@ def child_sig(budget_s: float) -> None:
     t0 = time.perf_counter()
     S.prove_signature_batch(msg, sig_pks)
     warm = time.perf_counter() - t0
-    print("RES" + json.dumps([len(sig_pks) / warm, warm, "warmup"]),
-          flush=True)
+    print("RES" + json.dumps([len(sig_pks) / warm, warm,
+                              f"warmup-K{len(sig_pks)}"]), flush=True)
 
     iters = 0
     t0 = time.perf_counter()
@@ -127,7 +127,8 @@ def child_sig(budget_s: float) -> None:
         S.prove_signature_batch(msg, sig_pks)
         iters += 1
         dt = (time.perf_counter() - t0) / iters
-        print("RES" + json.dumps([len(sig_pks) / dt, dt, f"iter{iters}"]),
+        print("RES" + json.dumps([len(sig_pks) / dt, dt,
+                                  f"iter{iters}-K{len(sig_pks)}"]),
               flush=True)
         if time.perf_counter() - t_start > budget_s * 0.75:
             break

@@ -83,7 +83,12 @@ _dev_leaf_cache: dict = {}
 _agg_circuit_cache: dict = {}
 
 
-BATCH_K = 4     # EdDSA slots per leaf circuit (~14k rows each, 2^16 total)
+# EdDSA slots per leaf circuit (~14k rows each; 4 fill the 2^16-row
+# lookup-padded shape).  ZKLC_BATCH_K overrides for batch-size sweeps
+# (K=8 -> 2^17 rows: more HBM + a fresh compile, higher sig/s ceiling).
+import os as _os
+
+BATCH_K = int(_os.environ.get("ZKLC_BATCH_K", "4"))
 
 
 def get_ed25519_circuit(msg_len: int, k: int = 1):
