@@ -64,12 +64,17 @@ def staged(name):
     return deco
 
 
-@staged("fr_wrap")
-def stage_fr_wrap(mode, ckpt_dir):
+@staged("r1cs_witness")
+def stage_r1cs(mode, ckpt_dir):
+    """fr-wrap the resumed final proof and compile+solve the wrap R1CS in
+    one stage: circuit objects hold lambdas (generators) and cannot
+    pickle, so only the plain (r1cs, packed, z, statement) artifact
+    checkpoints."""
     sys.path.insert(0, "scripts")
     import groth16_wrap_e2e as GW
     from zklc_tpu.plonk.config import CircuitConfig, FriConfig
     from zklc_tpu.wrap import fr_wrap
+    from zklc_tpu.wrap.verifier_r1cs import WrapVerifierR1CS
     cfg = CircuitConfig(
         hasher="fr",
         fri_config=FriConfig(rate_bits=3, cap_height=2,
@@ -79,16 +84,11 @@ def stage_fr_wrap(mode, ckpt_dir):
                                            "/root/reference/data")
     wdata, wproof = fr_wrap.wrap_proof_fr(data, proof, config=cfg)
     assert fr_wrap.verify_fr(wproof, wdata.verifier_only, wdata.common)
-    return wdata, wproof, statement
-
-
-@staged("r1cs_witness")
-def stage_r1cs(wdata, wproof):
-    from zklc_tpu.wrap.verifier_r1cs import WrapVerifierR1CS
+    mark("fr_wrap")
     st = WrapVerifierR1CS(wdata.common, wdata.verifier_only)
     r1cs = st.b.build()
     packed, z = st.solve(wproof)
-    return r1cs, packed, z
+    return r1cs, packed, z, statement
 
 
 @staged("plonkish")
@@ -126,8 +126,7 @@ def main():
 
     from zklc_tpu.wrap import plonk_kzg as PK
 
-    wdata, wproof, statement = stage_fr_wrap(args.mode, ckpt_dir)
-    r1cs, packed, z = stage_r1cs(wdata, wproof)
+    r1cs, packed, z, statement = stage_r1cs(args.mode, ckpt_dir)
     timings["r1cs_constraints"] = len(r1cs.a)
     cs = stage_plonkish(r1cs)
     timings["plonkish_rows"] = cs.num_rows
