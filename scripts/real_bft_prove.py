@@ -108,6 +108,10 @@ def main():
     for tgt, r in zip(targets, results):
         name = b58encode(tgt.hash)
         t0 = time.time()
+        # a fully-resumed run never proved the aggregation in-process, so
+        # its verifier data may not be materialized yet
+        from zklc_tpu.plonk import prover as _prover
+        _prover.ensure_constants_sigmas_commitment(r.data)
         verifier.verify(r.proof, r.data.verifier_only, r.data.common)
         timings[f"verify_{name}_s"] = round(time.time() - t0, 2)
         expect_tag = bft.TAG_EPOCH if args.mode == "epoch" else bft.TAG_RANDOM
