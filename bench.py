@@ -134,6 +134,14 @@ def child_sig(budget_s: float) -> None:
             break
 
 
+def child_selftest() -> None:
+    """Test-only child: two RES lines with a pause between them, so the
+    harness test can assert mid-child emission (test_bench_harness.py)."""
+    print("RES" + json.dumps([1.0, 2.0, "early"]), flush=True)
+    time.sleep(2)
+    print("RES" + json.dumps([3.0, 4.0, "late"]), flush=True)
+
+
 def child_ntt() -> None:
     import jax
     import jax.numpy as jnp
