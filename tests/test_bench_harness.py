@@ -39,11 +39,11 @@ def test_stream_child_emits_mid_child(monkeypatch):
         got.append(payload)
         stamps.append(_t.time())
 
-    t0 = _t.time()
     best = bench.stream_child("child_selftest()", timeout_s=30,
                               on_res=on_res, attempts=1)
     assert [p[2] for p in got] == ["early", "late"]
     assert best[2] == "late"
-    # the first RES arrived while the child was still sleeping — the
-    # r3/r4 harness only surfaced results after the child exited
-    assert stamps[0] - t0 < 2.0
+    # the first RES arrived while the child was still sleeping (>=2s
+    # before the second) — the r3/r4 harness only surfaced results after
+    # the child exited
+    assert stamps[1] - stamps[0] >= 1.5
