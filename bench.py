@@ -209,10 +209,15 @@ def stream_child(call: str, timeout_s: float, on_res, attempts: int = 2):
         tmo = max(30.0, min(timeout_s, _remaining() - 10))
         t_end = time.time() + tmo
         try:
+            # Reload AOT-cached kernel traces if present, but never PAY
+            # export on a miss (~3-4x a plain trace): the child is
+            # deadline-bound and a plain retrace (~10 min) beats an
+            # export run (~55 min) inside any driver window.
+            env = dict(os.environ, ZKLC_AOT_EXPORT="0")
             proc = subprocess.Popen([sys.executable, "-c", code],
                                     stdout=subprocess.PIPE,
                                     stderr=subprocess.PIPE,
-                                    text=True, cwd=".")
+                                    text=True, cwd=".", env=env)
         except Exception as e:  # noqa: BLE001
             print(f"bench child {call} attempt {att}: spawn {e!r}",
                   file=sys.stderr, flush=True)

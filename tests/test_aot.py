@@ -56,6 +56,24 @@ def test_aot_corrupt_entry_falls_back(aot_env, capsys):
     assert "reload failed" in capsys.readouterr().out
 
 
+def test_aot_export_disabled_reload_only(aot_env, monkeypatch):
+    """ZKLC_AOT_EXPORT=0: a miss runs plain jit and writes NOTHING; a
+    pre-existing entry is still reloaded (deadline-bound bench children)."""
+    from zklc_tpu.utils.aot import aot_jit
+    x = np.ones((3, 3), np.float32)
+    # populate the cache with export allowed
+    a = np.asarray(aot_jit(_fn, "test|exp")(x, x))
+    assert len(list(aot_env.glob("*.jaxexp"))) == 1
+    monkeypatch.setenv("ZKLC_AOT_EXPORT", "0")
+    # hit: reload still works
+    b = np.asarray(aot_jit(_fn, "test|exp")(x, x))
+    np.testing.assert_allclose(a, b)
+    # miss (different key): plain jit, no new entry on disk
+    c = np.asarray(aot_jit(_fn, "test|exp-miss")(x, x))
+    np.testing.assert_allclose(a, c)
+    assert len(list(aot_env.glob("*.jaxexp"))) == 1
+
+
 def test_aot_disabled_on_cpu_by_default(tmp_path, monkeypatch):
     import jax
     monkeypatch.delenv("ZKLC_AOT", raising=False)

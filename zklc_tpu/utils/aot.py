@@ -43,6 +43,15 @@ def enabled() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def export_enabled() -> bool:
+    """Whether a cache MISS may pay the export cost (~3-4x a plain trace,
+    measured ~140 s vs ~40 s per leaf-gate quotient kernel on the 2-core
+    host).  Long checkpointed runs amortize it; deadline-bound processes
+    (bench.py children) set ZKLC_AOT_EXPORT=0 to reload-if-present but
+    fall back to plain jit on a miss instead of exporting."""
+    return os.environ.get("ZKLC_AOT_EXPORT", "1") == "1"
+
+
 def aot_jit(fn, key: str):
     """jax.jit(fn) with a disk-backed trace cache.
 
@@ -94,6 +103,8 @@ def aot_jit(fn, key: str):
                     os.remove(path)
                 except OSError:
                     pass
+        if call is None and not export_enabled():
+            call = jfn            # miss + export disabled: plain trace
         if call is None:
             try:
                 sds = jax.tree_util.tree_map(
