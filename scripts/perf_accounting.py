@@ -146,10 +146,20 @@ def eddsa_entry():
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma list of entries to run (ntt,commit,eddsa); "
+                         "eddsa is a full leaf prove (~export cost cold) — "
+                         "skip it in short chip windows")
+    flags = ap.parse_args()
+    picked = set(flags.only.split(",")) if flags.only else None
     t_start = time.time()
     entries = []
     for name, fn in (("ntt", ntt_entry), ("commit", commit_entry),
                      ("eddsa", eddsa_entry)):
+        if picked is not None and name not in picked:
+            continue
         try:
             e = fn()
             entries.append(e)
@@ -157,6 +167,16 @@ def main():
         except Exception as ex:  # noqa: BLE001
             entries.append({"kernel": name, "error": repr(ex)})
             print(f"{name} failed: {ex!r}", flush=True)
+    if picked is not None and os.path.exists(OUT):
+        # partial run: merge over the prior artifact instead of clobbering
+        try:
+            with open(OUT) as f:
+                prior = {e.get("kernel", "?").split("_")[0]: e
+                         for e in json.load(f).get("kernels", [])}
+        except Exception:  # noqa: BLE001
+            prior = {}
+        have = {e.get("kernel", "?").split("_")[0] for e in entries}
+        entries += [e for k, e in prior.items() if k not in have]
     doc = {
         "chip": "TPU v5e (single chip via tunnel)",
         "peaks": {"int8_tops": PEAK_INT8_OPS, "bf16_flops": PEAK_BF16_FLOPS,
