@@ -34,6 +34,7 @@ emitted line via "baseline_quality": "estimate" + "baseline_basis".
 """
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -196,6 +197,9 @@ def _ntt_line(ntt_ms, quality, measured_at=None):
     return line
 
 
+_current_child = None   # live Popen, killed by the SIGTERM finalizer
+
+
 def stream_child(call: str, timeout_s: float, on_res, attempts: int = 2):
     """Run `bench.<call>` in a subprocess via Popen, parsing RES lines the
     instant they stream out; `on_res(payload)` is invoked per line so the
@@ -218,6 +222,8 @@ def stream_child(call: str, timeout_s: float, on_res, attempts: int = 2):
                                     stdout=subprocess.PIPE,
                                     stderr=subprocess.PIPE,
                                     text=True, cwd=".", env=env)
+            global _current_child
+            _current_child = proc
         except Exception as e:  # noqa: BLE001
             print(f"bench child {call} attempt {att}: spawn {e!r}",
                   file=sys.stderr, flush=True)
@@ -266,57 +272,17 @@ def stream_child(call: str, timeout_s: float, on_res, attempts: int = 2):
     return best
 
 
-def main():
-    run_ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    cache = _load_cache()
+_final_emitted = False
 
-    # ---- 0. cached lines FIRST: a parseable tail within seconds --------
-    have_cached_sig = have_cached_ntt = False
-    c = cache.get("sig")
-    if c:
-        emit(_sig_line(c["sig_per_s"], c.get("leaf_s"), "cached",
-                       measured_at=c.get("measured_at")))
-        have_cached_sig = True
-    c = cache.get("ntt")
-    if c:
-        emit(_ntt_line(c["ntt_ms"], "cached",
-                       measured_at=c.get("measured_at")))
-        have_cached_ntt = True
 
-    live = {"sig": None, "ntt": None}
-
-    # ---- 1. PRIMARY metric: live ed25519 sig proofs/s ------------------
-    ntt_reserve = 240.0
-    sig_budget = max(60.0, _remaining() - ntt_reserve)
-
-    def on_sig(payload):
-        sig_per_s, leaf_s = float(payload[0]), float(payload[1])
-        q = payload[2] if len(payload) > 2 else "live"
-        live["sig"] = (sig_per_s, leaf_s)
-        emit(_sig_line(sig_per_s, leaf_s, f"live-{q}", measured_at=run_ts))
-        cache["sig"] = {"sig_per_s": sig_per_s, "leaf_s": leaf_s,
-                        "measured_at": run_ts, "quality": q}
-        _save_cache(cache)
-
-    stream_child(f"child_sig({sig_budget:.0f})", timeout_s=sig_budget,
-                 on_res=on_sig, attempts=2)
-
-    # ---- 2. Goldilocks 2^22 NTT latency (north star #2) ----------------
-    def on_ntt(payload):
-        ntt_ms = float(payload[0])
-        q = payload[1] if len(payload) > 1 else "live"
-        if q == "warmup":          # compile time, not steady-state: skip
-            return
-        live["ntt"] = ntt_ms
-        emit(_ntt_line(ntt_ms, f"live-{q}", measured_at=run_ts))
-        cache["ntt"] = {"ntt_ms": ntt_ms, "measured_at": run_ts,
-                        "quality": q}
-        _save_cache(cache)
-
-    stream_child("child_ntt()", timeout_s=min(600.0, _remaining()),
-                 on_res=on_ntt, attempts=2)
-
-    # ---- 3. combined line LAST (the driver records the tail) -----------
+def _emit_final(live, cache, run_ts):
+    """Combined line LAST (the driver records the tail).  Idempotent: also
+    invoked from the SIGTERM finalizer, so a driver `timeout` kill still
+    leaves a complete parseable tail instead of a mid-stream cut."""
+    global _final_emitted
+    if _final_emitted:
+        return
+    _final_emitted = True
     extra = {}
     sig = live["sig"] or (cache.get("sig") and
                           (cache["sig"]["sig_per_s"],
@@ -353,6 +319,75 @@ def main():
               "unit": "sig/s", "vs_baseline": None,
               "error": "no cached metrics and all bench children failed "
                        f"within budget {TOTAL_BUDGET_S:.0f}s"})
+
+
+def main():
+    run_ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    cache = _load_cache()
+
+    # ---- 0. cached lines FIRST: a parseable tail within seconds --------
+    have_cached_sig = have_cached_ntt = False
+    c = cache.get("sig")
+    if c:
+        emit(_sig_line(c["sig_per_s"], c.get("leaf_s"), "cached",
+                       measured_at=c.get("measured_at")))
+        have_cached_sig = True
+    c = cache.get("ntt")
+    if c:
+        emit(_ntt_line(c["ntt_ms"], "cached",
+                       measured_at=c.get("measured_at")))
+        have_cached_ntt = True
+
+    live = {"sig": None, "ntt": None}
+
+    # A driver-side `timeout` sends SIGTERM: flush the combined final line
+    # (live-so-far falling back to cache) and exit cleanly instead of
+    # dying mid-stream — BENCH_r04.json's empty-tail failure mode.
+    def _on_term(signum, frame):  # noqa: ARG001
+        if _current_child is not None:
+            try:
+                _current_child.kill()
+            except Exception:  # noqa: BLE001
+                pass
+        _emit_final(live, cache, run_ts)
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    # ---- 1. PRIMARY metric: live ed25519 sig proofs/s ------------------
+    ntt_reserve = 240.0
+    sig_budget = max(60.0, _remaining() - ntt_reserve)
+
+    def on_sig(payload):
+        sig_per_s, leaf_s = float(payload[0]), float(payload[1])
+        q = payload[2] if len(payload) > 2 else "live"
+        live["sig"] = (sig_per_s, leaf_s)
+        emit(_sig_line(sig_per_s, leaf_s, f"live-{q}", measured_at=run_ts))
+        cache["sig"] = {"sig_per_s": sig_per_s, "leaf_s": leaf_s,
+                        "measured_at": run_ts, "quality": q}
+        _save_cache(cache)
+
+    stream_child(f"child_sig({sig_budget:.0f})", timeout_s=sig_budget,
+                 on_res=on_sig, attempts=2)
+
+    # ---- 2. Goldilocks 2^22 NTT latency (north star #2) ----------------
+    def on_ntt(payload):
+        ntt_ms = float(payload[0])
+        q = payload[1] if len(payload) > 1 else "live"
+        if q == "warmup":          # compile time, not steady-state: skip
+            return
+        live["ntt"] = ntt_ms
+        emit(_ntt_line(ntt_ms, f"live-{q}", measured_at=run_ts))
+        cache["ntt"] = {"ntt_ms": ntt_ms, "measured_at": run_ts,
+                        "quality": q}
+        _save_cache(cache)
+
+    stream_child("child_ntt()", timeout_s=min(600.0, _remaining()),
+                 on_res=on_ntt, attempts=2)
+
+    _emit_final(live, cache, run_ts)
     _ = have_cached_sig, have_cached_ntt
 
 
